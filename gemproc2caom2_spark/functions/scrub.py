@@ -1,0 +1,82 @@
+"""PII / toxicity scrubbing — byte-identical canonicalization.
+
+Analog of the reference's data-label repair: a deterministic
+string-canonicalization kernel whose exact output is pinned by tests
+(repair_data_label, pinned at
+/root/reference/gemProc2caom2/tests/test_storage_name.py:141-157).
+
+The scrub is a fixed, ordered chain of regex replacements. Order
+matters (emails before phones: an email's digits must not be half-eaten
+by the phone rule), mirroring the reference's strict visitor ordering
+(composable.py:94-97). Implemented as Spark ``regexp_replace`` Column
+expressions — fully JVM-side, whole-stage-codegen'd, and renderable as
+ANSI SQL for the DuckDB oracle. Regex syntax is restricted to the
+RE2 ∩ Java common subset so both engines match byte-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — applied strictly in order.
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        # +1-555-123-4567, (555) 123-4567, 555 123 4567, 5551234567 (10+)
+        "phone",
+        r"\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{4}",
+        "<PHONE>",
+    ),
+    (
+        "ssn",
+        r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "<ID>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    (
+        # toxicity placeholder lexicon — deterministic, word-boundary
+        "profanity",
+        r"\b(?:damn|hell|crap|frigging)\b",
+        "<TOX>",
+    ),
+]
+
+
+def scrub_expr(text: Column | str) -> Column:
+    """Apply the scrub chain; null text stays null."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _name, pat, repl in SCRUB_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def scrub_sql(text_expr: str) -> str:
+    """Identical chain rendered as nested ANSI/DuckDB regexp_replace.
+
+    DuckDB replaces only the first match unless the 'g' flag is given.
+    """
+    e = text_expr
+    for _name, pat, repl in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{p}', '{repl}', 'g')"
+    return e
+
+
+def scrub_python(text: str | None) -> str | None:
+    """Driver-side scalar reference (golden-fixture generation only)."""
+    import re
+
+    if text is None:
+        return None
+    for _name, pat, repl in SCRUB_RULES:
+        text = re.sub(pat, repl, text)
+    return text

@@ -1,0 +1,89 @@
+"""Heuristic quality rules — Gopher/C4-style gates as Column exprs.
+
+Analog of the reference's decision tables and validation gates:
+- 2-level dispatch on OBSTYPE/INSTRUME (main_app.py:303-318) -> the
+  nested F.when rule chain;
+- chunk-drop for non-science parts (main_app.py:221-224,260-264) -> the
+  keep/drop verdict;
+- sentinel null-out (delta == 1.0 -> time=None, main_app.py:251-259) ->
+  placeholder-text detection;
+- missing-keyword guards (main_app.py:344-346,415-416) -> null-safe
+  metric computation.
+
+All metrics are pure Column expressions (whole-stage codegen); the rule
+thresholds live in a config dataclass broadcast by closure — the
+blueprint-table analog (main_app.py:135-181).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gemproc2caom2_spark.functions import text as TX
+from gemproc2caom2_spark.functions.perplexity import unigram_surprisal_expr
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    """Broadcast rule table (blueprint analog). One instance drives both
+    the Spark plan and the SQL oracle rendering, so thresholds can never
+    diverge between engines."""
+
+    min_doc_len: int = 120          # chars
+    max_doc_len: int = 200_000
+    min_words: int = 20
+    max_symbol_ratio: float = 0.10
+    max_repeated_line_frac: float = 0.30
+    max_perplexity: float = 60.0
+    max_rare_char_ratio: float = 0.25
+    target_langs: tuple[str, ...] = ("en",)
+    placeholder_markers: tuple[str, ...] = ("lorem ipsum", "under construction")
+    num_minhash_perms: int = 128
+    lsh_bands: int = 16
+    shingle_k: int = 3
+    n_salts: int = 16
+
+
+DEFAULT_RULES = RuleConfig()
+
+# quality struct fields in fixed order (FIXTURES.md §2)
+QUALITY_FIELDS = (
+    "doc_len", "n_words", "mean_line_len", "symbol_ratio",
+    "repeated_line_frac", "rare_char_ratio",
+)
+
+
+def quality_struct(text: Column | str) -> Column:
+    """struct<doc_len:long, n_words:long, mean_line_len:double,
+    symbol_ratio:double, repeated_line_frac:double, rare_char_ratio:double>
+
+    Null text -> null metrics inside the struct (missing-input guard).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    ls = TX.line_stats(t)
+    return F.struct(
+        F.length(t).cast("long").alias("doc_len"),
+        TX.token_count_ws(t).alias("n_words"),
+        ls.getField("mean_line_len").alias("mean_line_len"),
+        TX.symbol_ratio(t).alias("symbol_ratio"),
+        TX.repeated_line_frac(t).alias("repeated_line_frac"),
+        unigram_surprisal_expr(t).alias("rare_char_ratio"),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text_extracted",
+                 out_col: str = "quality") -> DataFrame:
+    return df.withColumn(out_col, quality_struct(text_col))
+
+
+def placeholder_flag(text: Column | str, rules: RuleConfig = DEFAULT_RULES) -> Column:
+    """Sentinel/garbage detection (the delta==1.0 analog): true when the
+    doc is dominated by a known placeholder marker."""
+    t = F.lower(F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit("")))
+    cond = F.lit(False)
+    for marker in rules.placeholder_markers:
+        cond = cond | t.contains(marker)
+    return cond

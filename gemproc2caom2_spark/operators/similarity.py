@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+New capability (no reference analog): approximate-nearest-neighbor for
+training-data curation. Two tiers:
+
+- brute-force cosine top-k — the exactness baseline. Query set must be
+  small (it is broadcast); corpus side streams. Dot products are pure
+  higher-order-function Column exprs (zip_with + aggregate), double
+  accumulation so external oracles agree bit-for-bit.
+- LSH-bucketed ANN — the scale path: random-hyperplane sign bits from
+  deterministic per-dimension hashes bucket the corpus; only same-bucket
+  candidates are scored. At 10^12 rows the bucket groupBy replaces the
+  cross join: cost drops from |Q|x|C| to |Q|x|C|/2^bits per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query side, score
+    every corpus row, rank per query. Self-matches excluded when ids
+    collide. Returns (query_id, vec_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    # rank with deterministic tie-break on id so top-k is reproducible
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplane_bucket_expr(vec: Column, bits: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id.
+
+    Hyperplane h_i has pseudo-random ±1 weights per dimension derived
+    from xxhash64(i, dim_index) — no stored model, same plane set on
+    every executor by construction. Bit i = sign(<v, h_i>).
+    """
+    def plane_dot(i: int) -> Column:
+        # zip value with its index, weight = +-1 from hash parity
+        idx = F.transform(vec, lambda _, j: j)
+        signed = F.zip_with(
+            vec,
+            idx,
+            lambda x, j: F.when(
+                F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)) == 0, x.cast("double")
+            ).otherwise(-x.cast("double")),
+        )
+        return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+
+    bucket = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bucket = bucket + F.when(plane_dot(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: score only corpus rows in the query's hyperplane
+    bucket. Equi-join on bucket id replaces the cross join — this is
+    the 100-TB path (bucket cardinality ~ |C| / 2^bits)."""
+    bucket = hyperplane_bucket_expr(F.col(vec_col), bits)
+    c = corpus.withColumn("_bucket", bucket)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        bucket.alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,162 @@
+"""The curation DAG — one declarative pass, single scan, no driver loop.
+
+The reference's lifecycle (run_by_todo: per file, meta visitors then
+data visitors in strict order,
+/root/reference/gemProc2caom2/composable.py:94-120) becomes ONE
+DataFrame transformation chain ending in one distributed action. Stage
+ordering is preserved as the reference preserves visitor ordering —
+"order is important here" (composable.py:96).
+
+Execution-cost shape (the part that must survive 100 TB):
+
+- exactly one scan of the input; `html` is only materialized inside the
+  extract stage and is dropped immediately after;
+- cheap Column-expr gates are evaluated BEFORE the Arrow stages, and
+  expensive kernels receive NULL input for already-dropped rows
+  (`F.when(cheap_reason.isNull(), text)`), so a doc killed by a length
+  rule costs zero perplexity/minhash work — the early-filtering analog
+  of main_app.py:190-196 done by construction, since Catalyst will not
+  reorder across opaque UDFs;
+- one explicit salted repartition before the Arrow stages (UDF compute
+  skew is NOT covered by AQE skew-join handling);
+- the only shuffles in the whole plan are: the salted repartition, the
+  LSH band window, and the groupBy/join that folds duplicate flags
+  back — independent of corpus text size, all keyed on 64-bit hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gemproc2caom2_spark.functions.hashing import (
+    salted_partition_key,
+    url_host,
+    url_normalize,
+)
+from gemproc2caom2_spark.functions.langid import langid_expr
+from gemproc2caom2_spark.functions.perplexity import perplexity_udf
+from gemproc2caom2_spark.functions.scrub import scrub_expr
+from gemproc2caom2_spark.operators.dedup import (
+    make_minhash_udf,
+    mark_lsh_duplicates,
+    shingle_hashes_expr,
+)
+from gemproc2caom2_spark.operators.extract import extract_text_udf
+from gemproc2caom2_spark.operators.heuristics import (
+    DEFAULT_RULES,
+    RuleConfig,
+    placeholder_flag,
+    quality_struct,
+)
+from gemproc2caom2_spark.operators.verdict import drop_reason_expr
+
+# verdict output columns (the flat CAOM2-Observation analog, SURVEY §1.1)
+OUTPUT_COLUMNS = [
+    "url", "url_hash", "host", "warc_ts", "lang_claimed", "lang_pred",
+    "quality", "perplexity", "scrubbed_text", "keep", "drop_reason",
+]
+
+
+def cheap_drop_reason(text: Column, q: Column, lang_pred: Column,
+                      rules: RuleConfig) -> Column:
+    """The Column-expr-only prefix of the verdict precedence chain —
+    everything decidable without an Arrow stage. Must agree with
+    operators.verdict.DROP_PRECEDENCE prefix ordering."""
+    checks = [
+        ("empty", text.isNull() | (F.length(text) == 0)),
+        ("min_length", q.getField("doc_len") < rules.min_doc_len),
+        ("max_length", q.getField("doc_len") > rules.max_doc_len),
+        ("min_words", q.getField("n_words") < rules.min_words),
+        ("placeholder", placeholder_flag(text, rules)),
+        ("langid", ~lang_pred.isin(*rules.target_langs)),
+        ("symbol_ratio", q.getField("symbol_ratio") > rules.max_symbol_ratio),
+        ("rare_chars", q.getField("rare_char_ratio") > rules.max_rare_char_ratio),
+        ("repeated_lines",
+         q.getField("repeated_line_frac") > rules.max_repeated_line_frac),
+    ]
+    expr = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        expr = F.when(F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def curate(
+    df: DataFrame,
+    rules: RuleConfig = DEFAULT_RULES,
+    num_partitions: int | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Full curation DAG over an input-schema DataFrame
+    (url, warc_ts, html, text, lang) -> OUTPUT_COLUMNS."""
+    # ---- key/partition stage (builder.py:90-155 analog) ----
+    d = df.select(
+        url_normalize("url").alias("url"),
+        F.col("warc_ts"),
+        F.col("html"),
+        F.col("text"),
+        F.col("lang").alias("lang_claimed"),
+    ).withColumn("url_hash", F.xxhash64("url")).withColumn("host", url_host("url"))
+
+    if num_partitions:
+        d = d.repartition(num_partitions, salted_partition_key("url", rules.n_salts))
+
+    # ---- extract stage (header-parse analog; drops `html` right after) ----
+    d = d.withColumn(
+        "text_extracted",
+        F.coalesce(F.col("text"), extract_text_udf(F.col("html"))),
+    ).drop("html", "text")
+
+    # ---- langid + heuristics (pure Column exprs, codegen'd) ----
+    d = (
+        d.withColumn("lang_pred", langid_expr("text_extracted"))
+        .withColumn("quality", quality_struct("text_extracted"))
+        .withColumn(
+            "_cheap_reason",
+            cheap_drop_reason(
+                F.col("text_extracted"), F.col("quality"), F.col("lang_pred"), rules
+            ),
+        )
+    )
+
+    # ---- expensive kernels, null-gated on the cheap verdict ----
+    gated_text = F.when(F.col("_cheap_reason").isNull(), F.col("text_extracted"))
+    d = d.withColumn("perplexity", F.round(perplexity_udf(gated_text), 6))
+
+    if dedup:
+        ppl_ok = F.col("perplexity") <= rules.max_perplexity
+        dedup_text = F.when(
+            F.col("_cheap_reason").isNull() & F.coalesce(ppl_ok, F.lit(False)),
+            F.col("text_extracted"),
+        )
+        sig_udf = make_minhash_udf(rules.num_minhash_perms, rules.shingle_k)
+        d = d.withColumn(
+            "minhash_sig", sig_udf(shingle_hashes_expr(dedup_text, rules.shingle_k))
+        )
+        d = mark_lsh_duplicates(
+            d,
+            key_col="url_hash",
+            sig_col="minhash_sig",
+            bands=rules.lsh_bands,
+            rows_per_band=rules.num_minhash_perms // rules.lsh_bands,
+        )
+    else:
+        d = d.withColumn("is_duplicate", F.lit(False))
+
+    # ---- scrub (byte-identical, JVM regexp chain) ----
+    d = d.withColumn("scrubbed_text", scrub_expr("text_extracted"))
+
+    # ---- verdict (full precedence chain, single source of truth) ----
+    reason = drop_reason_expr(
+        F.col("quality"),
+        F.col("lang_pred"),
+        F.col("perplexity"),
+        F.col("is_duplicate"),
+        F.lit(False),
+        F.col("text_extracted"),
+        rules,
+    )
+    d = d.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+    return d.select(*OUTPUT_COLUMNS)

@@ -1,0 +1,75 @@
+"""SparkSession construction for the engine.
+
+The reference initializes process-global service handles once per run
+(/root/reference/gemProc2caom2/composable.py:107-113); the Spark analog
+is one SparkSession configured for the workload:
+
+- AQE on (runtime partition coalescing + skew-join splitting),
+- shuffle partitions sized to the parallelism level, not the 200 default,
+- Arrow enabled for every pandas-UDF stage,
+- UTC session timezone so timestamps compare exactly against external
+  oracles (DuckDB is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "gemproc2caom2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
+    ``shuffle_partitions`` defaults to 2x the local core count -- on a
+    real cluster pass total executor cores (or a multiple) instead.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = _parse_local_cores(master)
+        shuffle_partitions = max(2 * n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scans: keep file-split sizing explicit so partition
+        # counts stay predictable when the input grows 100x
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _parse_local_cores(master: str) -> int:
+    """Best-effort core count from a local[N] master string."""
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[6:-1]
+        if inner == "*":
+            return os.cpu_count() or 4
+        try:
+            return int(inner)
+        except ValueError:
+            return 4
+    return 4
