@@ -25,7 +25,9 @@ LANG_PROFILES: dict[str, list[str]] = {
     "en": ["the", "and", "of", "is", "that", "with", "for", "was"],
     "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit"],
     "fr": ["le", "les", "des", "est", "une", "dans", "que", "pour"],
-    "es": ["los", "las", "por", "una", "para", "con", "del", "está"],
+    # ASCII-edge words only: \b at a non-ASCII boundary char diverges
+    # between Java (ASCII \b), RE2 and Python-unicode regex engines
+    "es": ["los", "las", "por", "una", "para", "con", "del", "esta"],
 }
 # CJK: classify by character range, not stopwords.
 CJK_RE = r"[一-鿿]"
