@@ -1,0 +1,535 @@
+"""Training-data-pipeline queries: dedup, similarity, text analysis,
+multimodal plumbing, and the curation verdict — with SQL oracles where
+the semantics are SQL-expressible (hex15 keeps hashes cross-engine).
+
+Registered into the same registry as plans.queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gemproc2caom2_spark.functions.hashing import MERSENNE_61, hex15_hash, hex15_hash_sql
+from gemproc2caom2_spark.functions.langid import langid_expr, langid_sql
+from gemproc2caom2_spark.functions.scrub import scrub_expr, scrub_sql
+from gemproc2caom2_spark.functions import text as TX
+from gemproc2caom2_spark.operators.dedup import ngram_jaccard_pairs, normalized_fingerprint
+from gemproc2caom2_spark.operators.heuristics import quality_struct
+from gemproc2caom2_spark.operators.multimodal import decode_media_features
+from gemproc2caom2_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from gemproc2caom2_spark.plans.queries import load, register
+
+# ---------------------------------------------------------------------------
+# SQL snippets shared by several oracles
+# ---------------------------------------------------------------------------
+
+# whitespace words of lower(text), DuckDB side (trim strips spaces only,
+# matching Spark F.trim semantics)
+_SQL_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+_M31 = (1 << 31) - 1
+
+
+def _perm_ab(i: int) -> tuple[int, int]:
+    """Same universal-hash constants as functions.hashing.minhash_perm."""
+    a = (2 * i + 1) * 0x9E3779B97F4A7C15 % MERSENNE_61 % _M31
+    b = (i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % MERSENNE_61
+    return a, b
+
+
+# ===========================================================================
+# deduplication
+# ===========================================================================
+
+
+@register(
+    "dd1_exact_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents)
+    SELECT fingerprint,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text, keep min doc_id
+    as canonical. One shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _minhash16_sql_expr() -> str:
+    """DuckDB rendering of the 16-perm minhash over 2-word shingles."""
+    shingle_hash = hex15_hash_sql("s")
+    mins = []
+    for i in range(16):
+        a, b = _perm_ab(i)
+        mins.append(
+            f"list_min(list_transform(hs, h -> ((h % {MERSENNE_61}) % {_M31} * {a} + {b}) % {MERSENNE_61}))"
+        )
+    return (
+        "list_transform(["
+        + ", ".join(mins)
+        + "], x -> x::VARCHAR)"
+    ), shingle_hash
+
+
+_MINS, _SH = _minhash16_sql_expr()
+
+@register(
+    "dd2_minhash_signature",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> ws[i] || ' ' || ws[i + 1])) AS shingles
+      FROM w),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {_SH}) AS hs
+      FROM sh WHERE len(shingles) > 0)
+    SELECT doc_id, array_to_string({_MINS}, ',') AS minhash_csv
+    FROM hs
+    """,
+)
+def dd2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 perms, 2-word shingles) computed entirely
+    with built-in higher-order functions on the cross-engine hex15 hash
+    — the oracle-checkable twin of the xxhash64/numpy scale path used by
+    the pipeline (operators/dedup.py)."""
+    d = load(spark, sf_dir, "documents")
+    shingles = TX.word_shingles(F.lower(F.col("text")), k=2)
+    hashes = F.transform(F.array_distinct(shingles), hex15_hash)
+
+    def perm(i: int):
+        a, b = _perm_ab(i)
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (h % MERSENNE_61 % _M31 * a + b) % MERSENNE_61,
+            )
+        ).cast("string")
+
+    return (
+        d.select("doc_id", hashes.alias("hs"))
+        .where(F.size("hs") > 0)
+        .select(
+            "doc_id",
+            F.concat_ws(",", *[perm(i) for i in range(16)]).alias("minhash_csv"),
+        )
+    )
+
+
+@register(
+    "dd3_simhash",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
+    h AS (
+      SELECT doc_id, {hex15_hash_sql("word")} AS hw FROM w),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(16) t(b) GROUP BY doc_id, b)
+    SELECT doc_id,
+           sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash16
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit relational form): per-word hex15 hash, ±1 votes
+    per bit, majority -> bit set. Term frequency weights (duplicates
+    kept). The 60-bit numpy UDF twin is operators.dedup.with_simhash."""
+    d = load(spark, sf_dir, "documents")
+    ws = TX.words(F.lower(F.col("text")))
+    exploded = d.select("doc_id", F.explode(ws).alias("word")).select(
+        "doc_id", hex15_hash("word").alias("hw")
+    )
+    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
+    votes = (
+        exploded.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(
+            # python shiftright() wants an int literal; column-shift via SQL expr
+            F.sum(
+                F.when(F.expr("(hw >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("v")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), b)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash16")
+    )
+
+
+@register(
+    "dd4_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS _k,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len({_SQL_WORDS}) - 1, 0) + 1),
+               i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i + 1]))) AS _s
+      FROM documents),
+    sizes AS (SELECT _k, count(*) AS _n FROM sh GROUP BY _k),
+    freq AS (SELECT _s FROM sh GROUP BY _s HAVING count(*) <= 1000),
+    shc AS (SELECT sh._k, sh._s FROM sh JOIN freq USING (_s)),
+    pairs AS (
+      SELECT a._k AS key1, b._k AS key2, count(*) AS _inter
+      FROM shc a JOIN shc b USING (_s) WHERE a._k < b._k
+      GROUP BY a._k, b._k)
+    SELECT key1, key2,
+           round(_inter / (s1._n + s2._n - _inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1._k = key1
+    JOIN sizes s2 ON s2._k = key2
+    WHERE _inter / (s1._n + s2._n - _inter) >= 0.2
+    """,
+)
+def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 2-gram Jaccard >= 0.2, shingle-frequency
+    capped (never a cartesian; operators/dedup.ngram_jaccard_pairs)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    return ngram_jaccard_pairs(
+        d, key_col="doc_id", text_col="text", k=2, threshold=0.2, max_doc_freq=1000
+    )
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+_DOT = "list_sum(list_transform(range(1, len(c.embedding) + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+_NQ = "sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))"
+_NC = "sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))"
+
+
+@register(
+    "sim1_cosine_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             round({_DOT} / ({_NQ} * {_NC}), 6) AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id IN (0, 1, 2)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 3 query vectors: broadcast query
+    side, JVM zip_with/aggregate dot products, window rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    out = brute_force_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("sim2_ann_lsh", None)  # xxhash64 buckets: not SQL-replicable
+def sim2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path): hyperplane sign buckets, equi-join
+    instead of cross-join. Rows-only driver check; recall vs sim1 is
+    asserted in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    out = lsh_ann_topk(emb, q, k=5, bits=4, id_col="vec_id", vec_col="embedding")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+
+@register(
+    "tx1_langid",
+    f"SELECT doc_id, lang AS lang_claimed, {langid_sql('text')} AS lang_pred FROM documents",
+)
+def tx1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language re-derivation over the documents table (the reference
+    re-derives WCS rather than trusting headers, main_app.py:374-403)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("lang_claimed"),
+        langid_expr("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "tx2_quality_metrics",
+    f"""
+    WITH l AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM documents)
+    SELECT doc_id,
+           length(text)::BIGINT AS doc_len,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len({_SQL_WORDS.replace("lower(text)", "text")}) END::BIGINT AS n_words,
+           round(length(regexp_extract_all(text, '[^\\w\\s.,;:!?''"()\\-]'))
+                 / length(text), 6) AS symbol_ratio,
+           round(length(regexp_extract_all(lower(text), '[^a-z \\.,;:!?''\\n-]'))
+                 / length(text), 6) AS rare_char_ratio,
+           round(CASE WHEN len(lines) > 0
+                 THEN list_sum(list_transform(lines, x -> length(x)))::DOUBLE / len(lines)
+                 END, 6) AS mean_line_len,
+           round(CASE WHEN len(lines) > 0
+                 THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                 END, 6) AS repeated_line_frac
+    FROM l WHERE length(text) > 0
+    """,
+)
+def tx2_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 heuristic metrics as pure Column exprs (operators/
+    heuristics.quality_struct), flattened + rounded for the oracle."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    q = F.col("q")
+    return (
+        d.select("doc_id", F.col("text"))
+        .withColumn("q", quality_struct("text"))
+        .select(
+            "doc_id",
+            q.getField("doc_len").alias("doc_len"),
+            q.getField("n_words").alias("n_words"),
+            F.round(q.getField("symbol_ratio"), 6).alias("symbol_ratio"),
+            F.round(q.getField("rare_char_ratio"), 6).alias("rare_char_ratio"),
+            F.round(q.getField("mean_line_len"), 6).alias("mean_line_len"),
+            F.round(q.getField("repeated_line_frac"), 6).alias("repeated_line_frac"),
+        )
+    )
+
+
+@register(
+    "tx3_token_counts",
+    f"""
+    SELECT source,
+           sum(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS ws_tokens,
+           sum(length(regexp_extract_all(text,
+               '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^\\sA-Za-z0-9]')))::BIGINT AS bpeish_tokens,
+           count(*)::BIGINT AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def tx3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) rolled up per source."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(TX.token_count_ws("text")).alias("ws_tokens"),
+        F.sum(TX.token_count_bpeish("text")).alias("bpeish_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "tx4_fingerprint",
+    f"""
+    WITH n AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(s) - 7, 0) + 1),
+                                          i -> substring(s, i, 8))) AS grams
+      FROM n)
+    SELECT doc_id,
+           array_to_string(list_transform(
+             list_sort(list_transform(grams, g -> {hex15_hash_sql('g')}))[1:4],
+             x -> x::VARCHAR), ',') AS fingerprint
+    FROM g WHERE len(grams) >= 4
+    """,
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: 4 smallest hex15 hashes of
+    char 8-grams of normalized text (functions.text.rolling_fingerprint)."""
+    d = load(spark, sf_dir, "documents")
+    fp = TX.rolling_fingerprint("text", k=8, keep=4)
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .where(F.size("fp") >= 4)
+        .select(
+            "doc_id",
+            F.array_join(F.transform("fp", lambda x: x.cast("string")), ",").alias(
+                "fingerprint"
+            ),
+        )
+    )
+
+
+@register(
+    "tx5_scrub",
+    f"SELECT doc_id, {scrub_sql('text')} AS scrubbed_text FROM documents WHERE doc_id < 200",
+)
+def tx5_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/toxicity scrub chain — byte-identical across engines."""
+    return (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", scrub_expr("text").alias("scrubbed_text"))
+    )
+
+
+# ===========================================================================
+# multimodal plumbing
+# ===========================================================================
+
+
+@register(
+    "mm1_media_bytes",
+    """
+    SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+           'text/html' AS media_type
+    FROM documents
+    """,
+)
+def mm1_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload accounting (SQL-checkable projection of the media
+    path: payload bytes + declared type)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes"),
+        F.lit("text/html").alias("media_type"),
+    )
+
+
+@register("mm2_media_features", None)  # mapInPandas decode stub: rows-only
+def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full media decode plumbing: binary payload -> mapInPandas ->
+    typed feature rows (decoder stubbed deterministically; schema,
+    batching and partitioning are the real thing)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/html").alias("media_type"),
+    )
+    out = decode_media_features(d)
+    return out.select(
+        "doc_id", "n_bytes", "media_type", "width", "height",
+        F.round(F.element_at("feature", 1), 6).alias("feat0"),
+    )
+
+
+# ===========================================================================
+# curation verdict over the documents table
+# ===========================================================================
+
+_Q_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')"
+)
+
+
+@register(
+    "cur2_heuristic_verdict",
+    f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             length(text) AS doc_len,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+             length(regexp_extract_all(text, '[^\\w\\s.,;:!?''"()\\-]'))
+               / nullif(length(text), 0) AS symbol_ratio,
+             {langid_sql('text')} AS lang_pred
+      FROM documents)
+    SELECT doc_id, lang_pred,
+           CASE WHEN doc_len IS NULL OR doc_len = 0 THEN 'empty'
+                WHEN doc_len < 120 THEN 'min_length'
+                WHEN doc_len > 200000 THEN 'max_length'
+                WHEN n_words < 20 THEN 'min_words'
+                WHEN lower(text) LIKE '%lorem ipsum%'
+                     OR lower(text) LIKE '%under construction%' THEN 'placeholder'
+                WHEN lang_pred <> 'en' THEN 'langid'
+                WHEN symbol_ratio > 0.10 THEN 'symbol_ratio'
+                ELSE NULL END AS drop_reason,
+           (CASE WHEN doc_len IS NULL OR doc_len = 0 THEN 'empty'
+                WHEN doc_len < 120 THEN 'min_length'
+                WHEN doc_len > 200000 THEN 'max_length'
+                WHEN n_words < 20 THEN 'min_words'
+                WHEN lower(text) LIKE '%lorem ipsum%'
+                     OR lower(text) LIKE '%under construction%' THEN 'placeholder'
+                WHEN lang_pred <> 'en' THEN 'langid'
+                WHEN symbol_ratio > 0.10 THEN 'symbol_ratio'
+                ELSE NULL END IS NULL) AS keep,
+           {scrub_sql('text')} AS scrubbed_text
+    FROM m
+    """,
+)
+def cur2_heuristic_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Column-expression core of the curation verdict (everything
+    except the Arrow perplexity stage and corpus-level dedup), applied
+    to the documents table — fully oracle-checkable keep/drop + scrub."""
+    from gemproc2caom2_spark.operators.heuristics import DEFAULT_RULES, quality_struct
+
+    rules = DEFAULT_RULES
+    d = load(spark, sf_dir, "documents")
+    q = quality_struct("text")
+    lang = langid_expr("text")
+    d = d.select("doc_id", "text", q.alias("q"), lang.alias("lang_pred"))
+    text = F.col("text")
+    placeholder = F.lower(text).contains("lorem ipsum") | F.lower(text).contains(
+        "under construction"
+    )
+    checks = [
+        ("empty", text.isNull() | (F.length(text) == 0)),
+        ("min_length", F.col("q.doc_len") < rules.min_doc_len),
+        ("max_length", F.col("q.doc_len") > rules.max_doc_len),
+        ("min_words", F.col("q.n_words") < rules.min_words),
+        ("placeholder", placeholder),
+        ("langid", F.col("lang_pred") != "en"),
+        ("symbol_ratio", F.col("q.symbol_ratio") > rules.max_symbol_ratio),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(checks):
+        reason = F.when(F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(reason)
+    return d.select(
+        "doc_id",
+        "lang_pred",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+        scrub_expr("text").alias("scrubbed_text"),
+    )
+
+
+@register("cur1_flagship_pipeline", None)  # Arrow perplexity + LSH: rows-only
+def cur1_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation DAG run over the documents table mapped into
+    the web-page input schema (url synthesized from doc_id, html from
+    text bytes). Golden-fixture tests pin its semantics; the driver
+    records a rows-only check here."""
+    from gemproc2caom2_spark.plans.pipeline import curate
+
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2025-07-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = curate(d, num_partitions=None)
+    return out.select(
+        "url", "lang_pred", "keep", "drop_reason", "perplexity",
+        F.col("quality").getField("doc_len").alias("doc_len"),
+    )
