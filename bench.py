@@ -1,0 +1,166 @@
+"""Benchmark harness.
+
+Phase 1 — headline queries at local[$SPARK_GRAFT_CPUS] over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): per-query seconds.
+Results are consumed with the `noop` datasource so column pruning can't
+skip the computed expressions being measured.
+
+Phase 2 — scaling-efficiency evidence for the north rule (N vs 4N
+parallelism on identical input): the full curation DAG over a
+deterministic synthetic web-page corpus at local[8] and local[32];
+reports docs/sec at both and efficiency = throughput_4N / (4 *
+throughput_N). (This sandbox has no multi-node cluster; two local[N]
+levels on the same box are the sanctioned stand-in.)
+
+Prints ONE json line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "24000"))
+CORPUS_PATH = f"/tmp/gemproc_bench_corpus_{SCALE_DOCS}.parquet"
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "j1_threeway_like_join",
+    "a4_a5_median_minmax",
+    "a6_sorted_concat",
+    "w2_sessionization",
+    "st1_tumbling_window",
+    "dd1_exact_dedup",
+    "dd2_minhash_signature",
+    "dd4_ngram_jaccard_pairs",
+    "sim1_cosine_topk",
+    "tx2_quality_metrics",
+    "tx5_scrub",
+    "cur1_flagship_pipeline",
+]
+
+
+def _consume(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        _consume(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def _curate_job(spark, path: str) -> tuple[int, float]:
+    from gemproc2caom2_spark.plans.pipeline import curate
+
+    # the DAG persists its pre-dedup frame; identical plans would hit
+    # that cache on the second run and measure cache reads, not compute
+    spark.catalog.clearCache()
+    df = spark.read.parquet(path)
+    n = df.count()
+    t0 = time.monotonic()
+    out = curate(df, num_partitions=2 * int(spark.sparkContext.defaultParallelism))
+    _consume(out)
+    return n, time.monotonic() - t0
+
+
+def scale_level(cores: int) -> None:
+    """Child-process entry: run the curation DAG at local[cores] on the
+    shared corpus, print one json line. A fresh JVM per level keeps the
+    two measurements independent (and mirrors separate cluster deploys)."""
+    from gemproc2caom2_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"bench-scale-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        driver_memory=os.environ.get("SPARK_GRAFT_MEM", "32g"),
+    )
+    _curate_job(spark, CORPUS_PATH)  # warm-up: JIT, Arrow init, model load
+    n, secs = _curate_job(spark, CORPUS_PATH)
+    print(json.dumps({"cores": cores, "sec": round(secs, 3), "n_docs": n}))
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    if not os.path.exists(CORPUS_PATH):
+        # one-time deterministic corpus (pure pyarrow); excluded from timing
+        from gemproc2caom2_spark.sources.datagen import write_corpus_parquet
+
+        write_corpus_parquet(CORPUS_PATH, SCALE_DOCS)
+
+    result = {"n_docs": SCALE_DOCS}
+    low_n, high_n = max(CPUS // 4, 2), CPUS
+    for label, cores in (("low", low_n), ("high", high_n)):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-level", str(cores)],
+            capture_output=True, text=True, env=os.environ.copy(),
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"scale level {cores} failed: {proc.stderr[-2000:]}")
+        level = json.loads(proc.stdout.strip().splitlines()[-1])
+        result[f"cores_{label}"] = cores
+        result[f"sec_{label}"] = level["sec"]
+        result[f"docs_per_sec_{label}"] = round(level["n_docs"] / level["sec"], 1)
+    result["scaling_efficiency"] = round(
+        (result["docs_per_sec_high"] / result["docs_per_sec_low"])
+        / (high_n / low_n),
+        3,
+    )
+    return result
+
+
+def main() -> None:
+    from gemproc2caom2_spark.session import build_session
+
+    t_all = time.monotonic()
+    spark = build_session(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS,
+        driver_memory=os.environ.get("SPARK_GRAFT_MEM", "32g"),
+    )
+    timings = run_headline(spark)
+    spark.stop()
+
+    scaling = run_scaling()
+
+    total = round(time.monotonic() - t_all, 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-level":
+        scale_level(int(sys.argv[2]))
+    else:
+        main()

@@ -118,5 +118,5 @@ def unigram_surprisal_expr(text: Column | str) -> Column:
     early plane/artifact filtering, main_app.py:190-196)."""
     t = F.col(text) if isinstance(text, str) else text
     n = F.length(t)
-    rare = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[^a-z \.,;:!?'\n-]"), F.lit(0)))
+    rare = F.regexp_count(F.lower(t), F.lit(r"[^a-z \.,;:!?'\n-]"))
     return F.when(n > 0, rare / n)

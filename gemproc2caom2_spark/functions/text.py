@@ -50,22 +50,22 @@ def token_count_bpeish(text: Column | str) -> Column:
     BPE tokenizer that external SQL oracles can replicate with
     regexp_extract_all/length."""
     return F.coalesce(
-        F.size(F.regexp_extract_all(_c(text), F.lit(BPEISH_TOKEN_RE), F.lit(0))),
-        F.lit(0),
+        F.regexp_count(_c(text), F.lit(BPEISH_TOKEN_RE)), F.lit(0)
     ).cast("long")
 
 
 def symbol_ratio(text: Column | str) -> Column:
-    """Fraction of characters that are 'symbols' (junk indicator)."""
+    """Fraction of characters that are 'symbols' (junk indicator).
+    regexp_count: no per-doc match-array materialization."""
     t = _c(text)
     n = F.length(t)
-    return F.when(n > 0, F.size(F.regexp_extract_all(t, F.lit(SYMBOL_RE), F.lit(0))) / n)
+    return F.when(n > 0, F.regexp_count(t, F.lit(SYMBOL_RE)) / n)
 
 
 def digit_ratio(text: Column | str) -> Column:
     t = _c(text)
     n = F.length(t)
-    return F.when(n > 0, F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0))) / n)
+    return F.when(n > 0, F.regexp_count(t, F.lit(r"[0-9]")) / n)
 
 
 def lines(text: Column | str) -> Column:
@@ -104,24 +104,38 @@ def repeated_line_frac(text: Column | str) -> Column:
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """array<string> of k-word shingles (space-joined, lowercased).
 
-    Built with sequence+transform so the whole shingling stays in the
-    JVM; docs with < k words yield an empty array.
+    O(n) composition: zip_with over k shifted slices of the word array.
+    (The obvious transform(sequence(1, n-k+1), i -> slice(ws, i, k))
+    form re-evaluates the outer word-array expression PER INDEX in
+    Spark's interpreted higher-order-function path — O(n^2); a 50k-word
+    doc took minutes. Never close over an outer array expr inside a HOF
+    lambda.)
+
+    Docs with < k words yield an empty array.
     """
     ws = F.transform(words(text), lambda w: F.lower(w))
     n = F.size(ws)
-    idx = F.sequence(F.lit(1), n - (k - 1))  # slice() is 1-based
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(ws, i, k), " "))
+    m = F.greatest(n - (k - 1), F.lit(0))  # number of shingles
+    sh = F.slice(ws, 1, m)
+    for i in range(1, k):
+        nxt = F.slice(ws, 1 + i, m)
+        sh = F.zip_with(sh, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(text: Column | str, k: int = 5) -> Column:
-    """array<string> of character k-grams (for fingerprinting)."""
+    """array<string> of character k-grams (for fingerprinting).
+
+    Same O(n) shifted-slice construction as word_shingles (substring
+    per index would re-scan the string per gram — O(n^2))."""
     t = _c(text)
+    chars = F.split(t, "(?!^)")  # split between every pair of chars
     n = F.length(t)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    return F.when(n >= k, F.transform(idx, lambda i: F.substring(t, i, k))).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))
+    gr = F.slice(chars, 1, m)
+    for i in range(1, k):
+        gr = F.zip_with(gr, F.slice(chars, 1 + i, m), lambda a, b: F.concat(a, b))
+    return F.when(n >= k, gr).otherwise(F.array().cast("array<string>"))
 
 
 def rolling_fingerprint(text: Column | str, k: int = 8, keep: int = 4) -> Column:

@@ -56,16 +56,27 @@ QUALITY_FIELDS = (
 )
 
 
+# Per-doc analysis cap: ratio/line metrics are computed on the first
+# ANALYSIS_CAP chars only (doc_len stays exact). Bounds worst-case
+# per-document cost — a 10 MB page must not cost 100x a normal one
+# (UDF-stage compute skew; SURVEY §7 hard part (e)). Docs longer than
+# the cap are beyond max_doc_len and get dropped regardless.
+ANALYSIS_CAP = 65536
+
+
 def quality_struct(text: Column | str) -> Column:
     """struct<doc_len:long, n_words:long, mean_line_len:double,
     symbol_ratio:double, repeated_line_frac:double, rare_char_ratio:double>
 
     Null text -> null metrics inside the struct (missing-input guard).
+    doc_len is exact; all other metrics are over the first ANALYSIS_CAP
+    chars.
     """
-    t = F.col(text) if isinstance(text, str) else text
+    t_full = F.col(text) if isinstance(text, str) else text
+    t = F.substring(t_full, 1, ANALYSIS_CAP)
     ls = TX.line_stats(t)
     return F.struct(
-        F.length(t).cast("long").alias("doc_len"),
+        F.length(t_full).cast("long").alias("doc_len"),
         TX.token_count_ws(t).alias("n_words"),
         ls.getField("mean_line_len").alias("mean_line_len"),
         TX.symbol_ratio(t).alias("symbol_ratio"),

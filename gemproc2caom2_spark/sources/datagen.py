@@ -253,21 +253,30 @@ def generate_corpus(
 
 
 def write_corpus_parquet(
-    spark: SparkSession, path: str, n_docs: int, seed: int = 42,
-    partitions: int = 8, batch: int = 20_000,
+    path: str, n_docs: int, seed: int = 42, batch: int = 20_000,
 ) -> None:
-    """Write a large deterministic corpus for benchmarks, generated in
-    driver-side batches to bound memory (bench uses 50k-200k docs)."""
+    """Write a large deterministic corpus for benchmarks (pure pyarrow,
+    no SparkSession needed), in batches to bound driver memory."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # micros, not pyarrow's default nanos: Spark rejects TIMESTAMP(NANOS)
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string(), False),
+            pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
     writer = None
     for start in range(0, n_docs, batch):
         n = min(batch, n_docs - start)
         pdf = generate_pandas(n, seed=seed, offset=start).drop(columns=["category"])
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(schema)
         if writer is None:
-            writer = pq.ParquetWriter(path, tbl.schema)
+            writer = pq.ParquetWriter(path, schema)
         writer.write_table(tbl)
     if writer is not None:
         writer.close()

@@ -44,14 +44,18 @@ def lines(text: str) -> list[str]:
 
 
 def quality(text: str | None) -> dict:
+    from gemproc2caom2_spark.operators.heuristics import ANALYSIS_CAP
+
     if text is None:
         return dict(doc_len=None, n_words=None, mean_line_len=None,
                     symbol_ratio=None, repeated_line_frac=None,
                     rare_char_ratio=None)
+    full_len = len(text)
+    text = text[:ANALYSIS_CAP]  # ratio metrics are capped (heuristics.py)
     n = len(text)
     ls = lines(text)
     return dict(
-        doc_len=n,
+        doc_len=full_len,
         n_words=len(words(text)),
         mean_line_len=(sum(len(l) for l in ls) / len(ls)) if ls else None,
         symbol_ratio=(len(_SYMBOL.findall(text)) / n) if n else None,
@@ -104,11 +108,14 @@ def verdict(text: str | None, rules: RuleConfig = DEFAULT_RULES) -> dict:
         ppl = round(ppl, 6) if ppl is not None else None
         if ppl is not None and ppl > rules.max_perplexity:
             reason = "perplexity"
+    # scrub is emitted only for docs passing the cheap Column-expr gates
+    # (pipeline gates it the same way; ppl-dropped docs still pass cheap)
+    scrub_eligible = reason is None or reason == "perplexity"
     return dict(
         lang_pred=lang,
         quality=q,
         perplexity=ppl,
-        scrubbed_text=scrub_python(text),
+        scrubbed_text=scrub_python(text) if scrub_eligible else None,
         drop_reason_pre_dedup=reason,
     )
 
