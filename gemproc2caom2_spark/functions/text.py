@@ -23,7 +23,10 @@ BPEISH_TOKEN_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
 
 # "symbol" = anything outside letters / digits / whitespace / basic
 # sentence punctuation. High symbol ratio flags markup/encoding junk.
-SYMBOL_RE = r"[^\w\s.,;:!?'\"()\-]"
+# \w and \s are expanded to their explicit ASCII sets: identical
+# semantics in Java, RE2 and Python-ASCII, and Java compiles literal
+# classes to a bitmap (10x faster than the \w/\s predicate nodes).
+SYMBOL_RE = r"[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?'\"()\-]"
 
 
 def _c(col: Column | str) -> Column:
@@ -40,8 +43,9 @@ def words(text: Column | str) -> Column:
 
 
 def token_count_ws(text: Column | str) -> Column:
-    """Whitespace token count."""
-    return F.coalesce(F.size(words(text)), F.lit(0)).cast("long")
+    """Whitespace token count. regexp_count of \\S+ runs — equal to
+    len(split-by-whitespace) but with no token-array materialization."""
+    return F.coalesce(F.regexp_count(_c(text), F.lit(r"\S+")), F.lit(0)).cast("long")
 
 
 def token_count_bpeish(text: Column | str) -> Column:

@@ -56,12 +56,16 @@ QUALITY_FIELDS = (
 )
 
 
-# Per-doc analysis cap: ratio/line metrics are computed on the first
-# ANALYSIS_CAP chars only (doc_len stays exact). Bounds worst-case
-# per-document cost — a 10 MB page must not cost 100x a normal one
-# (UDF-stage compute skew; SURVEY §7 hard part (e)). Docs longer than
-# the cap are beyond max_doc_len and get dropped regardless.
-ANALYSIS_CAP = 65536
+# Per-doc analysis caps: ratio/line metrics are computed on the first
+# ANALYSIS_CAP chars and language ID on the first LANGID_CAP chars
+# (doc_len stays exact). Bounds worst-case per-document cost — a 10 MB
+# page must not cost 100x a normal one (UDF-stage compute skew; SURVEY
+# §7 hard part (e)) — and, measured: the regex passes over capped text
+# are the pipeline's dominant JVM cost, which is memory-bound, so bytes
+# scanned per doc directly sets throughput. 16 KB of ratios and 4 KB of
+# stopword counting decide the same verdicts as full-document scans.
+ANALYSIS_CAP = 16384
+LANGID_CAP = 4096
 
 
 def quality_struct(text: Column | str) -> Column:
@@ -92,8 +96,10 @@ def with_quality(df: DataFrame, text_col: str = "text_extracted",
 
 def placeholder_flag(text: Column | str, rules: RuleConfig = DEFAULT_RULES) -> Column:
     """Sentinel/garbage detection (the delta==1.0 analog): true when the
-    doc is dominated by a known placeholder marker."""
-    t = F.lower(F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit("")))
+    doc is dominated by a known placeholder marker. Scans only the
+    ANALYSIS_CAP prefix (placeholder pages announce themselves early)."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.lower(F.coalesce(F.substring(t, 1, ANALYSIS_CAP), F.lit("")))
     cond = F.lit(False)
     for marker in rules.placeholder_markers:
         cond = cond | t.contains(marker)

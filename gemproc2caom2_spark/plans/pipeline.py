@@ -111,34 +111,33 @@ def curate(
     ).drop("html", "text")
 
     # ---- langid + heuristics (pure Column exprs, codegen'd) ----
-    # langid reads the ANALYSIS_CAP prefix: language is decidable from
-    # 64 KB, and the stopword regexes must not rescan a 10 MB outlier
-    from gemproc2caom2_spark.operators.heuristics import ANALYSIS_CAP
+    # langid reads the LANGID_CAP prefix: language is decidable from a
+    # few KB, and the stopword regexes must not rescan a 10 MB outlier
+    from gemproc2caom2_spark.operators.heuristics import LANGID_CAP
 
-    d = (
-        d.withColumn(
-            "lang_pred",
-            langid_expr(F.substring(F.col("text_extracted"), 1, ANALYSIS_CAP)),
-        )
-        .withColumn("quality", quality_struct("text_extracted"))
-        .withColumn(
-            "_cheap_reason",
-            cheap_drop_reason(
-                F.col("text_extracted"), F.col("quality"), F.col("lang_pred"), rules
-            ),
-        )
-    )
+    d = d.withColumn(
+        "lang_pred",
+        langid_expr(F.substring(F.col("text_extracted"), 1, LANGID_CAP)),
+    ).withColumn("quality", quality_struct("text_extracted"))
 
     # ---- salted repartition: shuffle AND materialization barrier ----
-    # Row-local stages above run balanced on the input's byte-sized file
-    # splits; the shuffle (a) salts hot hosts before the keyed dedup ops
-    # and (b) materializes text_extracted/lang_pred/quality/_cheap_reason
-    # exactly once — every reference below is an attribute read, so the
-    # optimizer cannot re-inline (and thus re-evaluate) the regex and
-    # UDF trees into their many consumers. Measured ~1.8x on the bench
-    # corpus.
+    # Row-local regex stages above run balanced on the input's byte-sized
+    # file splits; the shuffle (a) salts hot hosts before the keyed dedup
+    # ops and (b) materializes text_extracted/lang_pred/quality exactly
+    # once — every reference below is an attribute read, so the optimizer
+    # cannot re-inline (and thus re-evaluate) the regex and UDF trees
+    # into their many consumers. The cheap-reason chain is built AFTER
+    # the barrier for the same reason: built before it, its quality/lang
+    # references inline the full regex trees a second time (~2x CPU).
     if num_partitions:
         d = d.repartition(num_partitions, salted_partition_key("url", rules.n_salts))
+
+    d = d.withColumn(
+        "_cheap_reason",
+        cheap_drop_reason(
+            F.col("text_extracted"), F.col("quality"), F.col("lang_pred"), rules
+        ),
+    )
 
     # ---- expensive kernels, null-gated on the cheap verdict ----
     gated_text = F.when(F.col("_cheap_reason").isNull(), F.col("text_extracted"))

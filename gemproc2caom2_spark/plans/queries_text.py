@@ -289,7 +289,7 @@ def tx1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text)::BIGINT AS doc_len,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len({_SQL_WORDS.replace("lower(text)", "text")}) END::BIGINT AS n_words,
-           round(length(regexp_extract_all(text, '[^\\w\\s.,;:!?''"()\\-]'))
+           round(length(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
                  / length(text), 6) AS symbol_ratio,
            round(length(regexp_extract_all(lower(text), '[^a-z \\.,;:!?''\\n-]'))
                  / length(text), 6) AS rare_char_ratio,
@@ -449,7 +449,7 @@ _Q_LINES = (
              length(text) AS doc_len,
              CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
-             length(regexp_extract_all(text, '[^\\w\\s.,;:!?''"()\\-]'))
+             length(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
                / nullif(length(text), 0) AS symbol_ratio,
              {langid_sql('text')} AS lang_pred
       FROM documents)

@@ -55,6 +55,14 @@ def build_session(
         # default 4096-row vectorized reader batch can ask for GBs of
         # contiguous heap per task — size down for this row shape
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # shuffle writes: the bypass-merge writer concatenates one file
+        # per reducer with FileChannel.transferTo (mmap/unmap per
+        # segment) — under a containerized FS the process-wide mmap
+        # semaphore serializes all map tasks (measured: 23/32 task
+        # threads blocked in transferTo, 5x wall-time inflation). Use
+        # the sort-based writer + plain buffered copies instead.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+        .config("spark.file.transferTo", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     if driver_memory:

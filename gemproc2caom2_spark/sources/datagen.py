@@ -148,7 +148,7 @@ def _gen_text(rng: random.Random, category: str, i: int) -> str | None:
     if category == "too_short":
         return "Tiny page."
     if category == "too_long":
-        return _paragraphs(rng, _EN_WORDS, 30) * 200
+        return _paragraphs(rng, _EN_WORDS, 30) * 100  # ~220KB: over max_doc_len
     if category == "symbol_heavy":
         base = _sentence(rng, _EN_WORDS, 30)
         junk = "".join(rng.choice("@#$%^&*<>{}[]|\\~`") for _ in range(len(base)))
@@ -253,10 +253,19 @@ def generate_corpus(
 
 
 def write_corpus_parquet(
-    path: str, n_docs: int, seed: int = 42, batch: int = 20_000,
+    path: str, n_docs: int, seed: int = 42, n_files: int = 64,
 ) -> None:
     """Write a large deterministic corpus for benchmarks (pure pyarrow,
-    no SparkSession needed), in batches to bound driver memory."""
+    no SparkSession needed) as a DIRECTORY of ``n_files`` parquet files.
+
+    Many files, not one: Spark splits parquet inputs by byte ranges of
+    at most spark.sql.files.maxPartitionBytes — a single 55 MB file is
+    ONE input split, serializing every pre-shuffle stage onto one core.
+    Real crawl dumps arrive as thousands of files; the bench input must
+    have the same shape.
+    """
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -270,13 +279,12 @@ def write_corpus_parquet(
             pa.field("lang", pa.string()),
         ]
     )
-    writer = None
-    for start in range(0, n_docs, batch):
-        n = min(batch, n_docs - start)
+    os.makedirs(path, exist_ok=True)
+    per_file = max(1, (n_docs + n_files - 1) // n_files)
+    file_idx = 0
+    for start in range(0, n_docs, per_file):
+        n = min(per_file, n_docs - start)
         pdf = generate_pandas(n, seed=seed, offset=start).drop(columns=["category"])
         tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(schema)
-        if writer is None:
-            writer = pq.ParquetWriter(path, schema)
-        writer.write_table(tbl)
-    if writer is not None:
-        writer.close()
+        pq.write_table(tbl, os.path.join(path, f"part-{file_idx:05d}.parquet"))
+        file_idx += 1

@@ -80,8 +80,10 @@ def langid(text: str | None, min_hits: int = 2) -> str:
 def verdict(text: str | None, rules: RuleConfig = DEFAULT_RULES) -> dict:
     """Full per-document verdict EXCEPT the corpus-level duplicate flag
     (dedup needs the whole corpus; tested separately)."""
+    from gemproc2caom2_spark.operators.heuristics import LANGID_CAP
+
     q = quality(text)
-    lang = langid(text)
+    lang = langid(text[:LANGID_CAP] if text is not None else None)
     ppl = None
     reason = None
     if text is None or len(text) == 0:
@@ -92,7 +94,7 @@ def verdict(text: str | None, rules: RuleConfig = DEFAULT_RULES) -> dict:
         reason = "max_length"
     elif q["n_words"] < rules.min_words:
         reason = "min_words"
-    elif any(m in text.lower() for m in rules.placeholder_markers):
+    elif any(m in text[:16384].lower() for m in rules.placeholder_markers):
         reason = "placeholder"
     elif lang not in rules.target_langs:
         reason = "langid"
