@@ -95,7 +95,7 @@ def scale_level(cores: int) -> None:
     )
     _curate_job(spark, CORPUS_PATH)  # warm-up: JIT, Arrow init, model load
     best = None
-    for _ in range(2):  # min of 2 timed runs: the host is noisy
+    for _ in range(3):  # min of 3: the host has multi-second noise bursts
         n, secs = _curate_job(spark, CORPUS_PATH)
         best = secs if best is None else min(best, secs)
     print(json.dumps({"cores": cores, "sec": round(best, 3), "n_docs": n}))
