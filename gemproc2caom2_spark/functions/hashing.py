@@ -105,7 +105,13 @@ def minhash_signature_sql(shingle_hashes: Column, num_perms: int = 32) -> Column
     preference order); the scale path for 128 perms is the numpy
     pandas_udf in operators/dedup.py. Empty/absent shingles -> nulls.
     """
+    def perm_lambda(idx: int):
+        # single-arg lambda on purpose: a 2-arg lambda would make
+        # F.transform pass the array INDEX as the second argument,
+        # clobbering a default-bound loop variable
+        return lambda h: minhash_perm(h, idx)
+
     return F.array(
-        *[F.array_min(F.transform(shingle_hashes, lambda h, i=i: minhash_perm(h, i)))
+        *[F.array_min(F.transform(shingle_hashes, perm_lambda(i)))
           for i in range(num_perms)]
     )

@@ -75,12 +75,12 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket_expr(vec: Column, bits: int = 8) -> Column:
-    """Deterministic random-hyperplane LSH bucket id.
+def hyperplane_bucket_expr(vec: Column, bits: int = 8, table: int = 0) -> Column:
+    """Deterministic random-hyperplane LSH bucket id for one hash table.
 
     Hyperplane h_i has pseudo-random ±1 weights per dimension derived
-    from xxhash64(i, dim_index) — no stored model, same plane set on
-    every executor by construction. Bit i = sign(<v, h_i>).
+    from xxhash64(table, i, dim_index) — no stored model, same plane
+    set on every executor by construction. Bit i = sign(<v, h_i>).
     """
     def plane_dot(i: int) -> Column:
         # zip value with its index, weight = +-1 from hash parity
@@ -89,7 +89,8 @@ def hyperplane_bucket_expr(vec: Column, bits: int = 8) -> Column:
             vec,
             idx,
             lambda x, j: F.when(
-                F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)) == 0, x.cast("double")
+                F.pmod(F.xxhash64(F.lit(table), F.lit(i), j), F.lit(2)) == 0,
+                x.cast("double"),
             ).otherwise(-x.cast("double")),
         )
         return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
@@ -104,29 +105,48 @@ def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    bits: int = 6,
+    bits: int = 4,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """ANN top-k: score only corpus rows in the query's hyperplane
-    bucket. Equi-join on bucket id replaces the cross join — this is
-    the 100-TB path (bucket cardinality ~ |C| / 2^bits)."""
-    bucket = hyperplane_bucket_expr(F.col(vec_col), bits)
-    c = corpus.withColumn("_bucket", bucket)
+    """Multi-table LSH ANN top-k: a candidate is scored iff it shares a
+    hyperplane bucket with the query in ANY of ``tables`` independent
+    hash tables (single-table recall for mid-cosine neighbors is poor —
+    (1-θ/π)^bits per table; the union drives it up exponentially).
+
+    Cost vs cross join: |C| * tables rows exploded, each query joins
+    ~|C| * tables / 2^bits candidates — this is the 100-TB path; the
+    exactness baseline is brute_force_topk.
+    """
+    # array of per-table buckets, exploded with the table index baked in
+    def buckets(col: Column) -> Column:
+        return F.array(
+            *[
+                hyperplane_bucket_expr(col, bits, t) + F.lit(t << 60)
+                for t in range(tables)
+            ]
+        )
+
+    c = corpus.select(
+        id_col, vec_col, F.explode(buckets(F.col(vec_col))).alias("_bucket")
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        bucket.alias("_bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("_bucket"),
     )
-    scored = (
+    candidates = (
         c.join(F.broadcast(q), "_bucket")
         .where(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col,
-            id_col,
-            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
-        )
+        .select(query_id_col, id_col, F.col("_qvec"), F.col(vec_col))
+        .dropDuplicates([query_id_col, id_col])  # union over tables
+    )
+    scored = candidates.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()

@@ -1,0 +1,51 @@
+"""Debug one url through a configurable sub-chain of stages.
+
+The run_single analog (/root/reference/gemProc2caom2/run_single.py:
+83-101, which runs a SUBSET of visitors on one file — stages stay
+composable, never fused into one opaque blob).
+
+  python scripts/run_single_url.py --input DIR --url URL [--no-dedup]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--url", required=True)
+    ap.add_argument("--no-dedup", action="store_true",
+                    help="skip the corpus-level dedup join (meta_visitors=[] analog)")
+    ap.add_argument("--master", default="local[4]")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from gemproc2caom2_spark.functions.hashing import url_normalize
+    from gemproc2caom2_spark.plans.pipeline import curate
+    from gemproc2caom2_spark.session import build_session
+    from gemproc2caom2_spark.sources.datagen import INPUT_SCHEMA
+
+    spark = build_session(app_name="gemproc-single", master=args.master)
+    try:
+        df = spark.read.schema(INPUT_SCHEMA).parquet(args.input)
+        if args.no_dedup:
+            # row-local chain only: filter first, no corpus state needed
+            df = df.where(url_normalize("url") == args.url)
+        out = curate(df, dedup=not args.no_dedup)
+        rows = out.where(F.col("url") == args.url).collect()
+        for r in rows:
+            d = r.asDict(recursive=True)
+            d["scrubbed_text"] = (d["scrubbed_text"] or "")[:500]
+            print(json.dumps(d, default=str, indent=1))
+        return 0 if rows else 2
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Dedup operator unit tests: UDF/Column-expr parity, exact dedup,
+LSH marking, jaccard pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gemproc2caom2_spark.operators.dedup import (
+    make_minhash_udf,
+    make_simhash_udf,
+    mark_exact_duplicates,
+    mark_lsh_duplicates,
+    ngram_jaccard_pairs,
+    shingle_hashes_expr,
+    with_minhash_signature,
+    word_hex15_hashes_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog again and again"),  # near dup
+        (4, "completely different content about data pipelines and storage"),
+        (5, None),
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_udf_matches_column_expr(spark, docs):
+    """The numpy Arrow path and the pure higher-order-function path must
+    produce IDENTICAL signatures (same permutation constants)."""
+    a = with_minhash_signature(docs, text_col="text", num_perms=16, use_udf=True)
+    b = with_minhash_signature(docs, text_col="text", num_perms=16, use_udf=False)
+    ra = {r.doc_id: r.minhash_sig for r in a.collect()}
+    rb = {r.doc_id: r.minhash_sig for r in b.collect()}
+    assert ra == rb
+    assert ra[1] == ra[2]           # identical docs -> identical sigs
+    assert ra[1] != ra[4]
+    # null text and <k-word docs both yield null signatures (no shingles)
+    assert ra[5] is None and ra[6] is None
+
+
+def test_exact_dedup(spark, docs):
+    out = mark_exact_duplicates(docs.where("text is not null"), "doc_id", "text")
+    flags = {r.doc_id: r.is_exact_dup for r in out.collect()}
+    assert flags == {1: False, 2: True, 3: False, 4: False, 6: False}
+
+
+def test_lsh_marks_near_dups(spark, docs):
+    d = with_minhash_signature(docs, text_col="text", num_perms=128)
+    out = mark_lsh_duplicates(d, key_col="doc_id", sig_col="minhash_sig",
+                              bands=16, rows_per_band=8)
+    flags = {r.doc_id: r.is_duplicate for r in out.collect()}
+    assert flags[1] is False         # canonical (min key) of the 1/2/3 cluster
+    assert flags[2] is True          # exact dup
+    assert flags[3] is True          # near dup (1-word change)
+    assert flags[4] is False and flags[5] is False and flags[6] is False
+
+
+def test_simhash_null_and_identity(spark, docs):
+    sim = docs.select(
+        "doc_id", make_simhash_udf()(word_hex15_hashes_expr("text")).alias("sh")
+    )
+    vals = {r.doc_id: r.sh for r in sim.collect()}
+    assert vals[1] == vals[2] and vals[1] is not None
+    assert vals[5] is None
+    # near-dup docs differ in few bits
+    ham = bin(vals[1] ^ vals[3]).count("1")
+    assert ham <= 12, ham
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = ngram_jaccard_pairs(
+        docs.where("text is not null"), "doc_id", "text", k=2, threshold=0.4
+    ).collect()
+    got = {(r.key1, r.key2): r.jaccard for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.4 <= got[(1, 3)] < 1.0
+    assert all(k in ((1, 2), (1, 3), (2, 3)) for k in got)

@@ -1,0 +1,84 @@
+"""Kernel unit tests: identity/url kernels (the StorageName-style
+exact-value tables, /root/reference/gemProc2caom2/tests/
+test_storage_name.py:89-157), cross-engine hash parity, extraction
+edge cases, scrub byte-exactness across three engines."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gemproc2caom2_spark.functions.hashing import hex15_hash, hex15_hash_sql, url_host, url_normalize
+from gemproc2caom2_spark.functions.scrub import scrub_expr, scrub_python, scrub_sql
+from gemproc2caom2_spark.operators.extract import extract_text_scalar
+
+# exact-value table, the test_storage_name.py pattern
+URL_CASES = [
+    ("https://Example.COM/Path/Page#frag", "https://example.com/Path/Page", "example.com"),
+    ("https://example.com:443/a/", "https://example.com/a", "example.com"),
+    ("http://example.com:80/", "http://example.com", "example.com"),
+    ("https://sub.host.example/x?q=1", "https://sub.host.example/x?q=1", "sub.host.example"),
+    ("not-a-url", "not-a-url", ""),
+]
+
+
+@pytest.mark.parametrize("raw,norm,host", URL_CASES)
+def test_url_kernels(spark, raw, norm, host):
+    r = spark.range(1).select(
+        url_normalize(F.lit(raw)).alias("n"), url_host(F.lit(raw)).alias("h")
+    ).collect()[0]
+    assert r.n == norm
+    assert r.h == host
+
+
+def test_hex15_cross_engine_parity(spark):
+    samples = ["", "abc", "héé 中文 😀", "the quick brown fox", "a" * 1000]
+    got = spark.createDataFrame([(s,) for s in samples], "s string").select(
+        hex15_hash("s").alias("h")
+    ).collect()
+    want = [duckdb.sql(f"select {hex15_hash_sql('?')}", params=None).df() for s in []]
+    con = duckdb.connect()
+    for row, s in zip(got, samples):
+        w = con.execute(
+            f"select {hex15_hash_sql('$s')}", {"s": s}
+        ).fetchone()[0]
+        assert row.h == w, s
+
+
+EXTRACT_CASES = [
+    (b"<html><body><p>Hello</p><p>World</p></body></html>", "Hello\nWorld"),
+    (b"<p>a &amp; b &lt;c&gt;</p>", "a & b <c>"),
+    (b"<script>bad()</script><p>ok</p>", "ok"),
+    (b"<nav>Home</nav><p>Body</p><footer>Privacy Policy</footer>", "Body"),
+    (b"", ""),
+    (None, None),
+    # invalid utf-8 -> U+FFFD, multibyte preserved byte-identically
+    (b"<p>a\xff b \xe4\xb8\xad</p>", "a� b 中"),
+]
+
+
+@pytest.mark.parametrize("html,want", EXTRACT_CASES)
+def test_extract_scalar(html, want):
+    assert extract_text_scalar(html) == want
+
+
+SCRUB_CASES = [
+    "mail me at a.b+c@ex-ample.org now",
+    "call +1-555-123-4567 or (555) 123 4567.",
+    "ssn 123-45-6789 ip 10.0.0.1 what the hell",
+    "no pii here",
+    "edge a@b.co end",
+]
+
+
+def test_scrub_three_engine_byte_parity(spark):
+    """Spark regexp_replace chain == DuckDB chain == Python re chain."""
+    con = duckdb.connect()
+    spark_out = spark.createDataFrame([(s,) for s in SCRUB_CASES], "t string").select(
+        scrub_expr("t").alias("o")
+    ).collect()
+    for row, s in zip(spark_out, SCRUB_CASES):
+        py = scrub_python(s)
+        dk = con.execute(f"select {scrub_sql('$t')}", {"t": s}).fetchone()[0]
+        assert row.o == py == dk, s
