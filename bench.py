@@ -93,11 +93,14 @@ def scale_level(cores: int) -> None:
         shuffle_partitions=2 * cores,
         driver_memory=os.environ.get("SPARK_GRAFT_MEM", "32g"),
     )
+    t_start = time.monotonic()
     _curate_job(spark, CORPUS_PATH)  # warm-up: JIT, Arrow init, model load
     best = None
-    for _ in range(3):  # min of 3: the host has multi-second noise bursts
+    for _ in range(3):  # min over reps: the host has multi-second noise bursts
         n, secs = _curate_job(spark, CORPUS_PATH)
         best = secs if best is None else min(best, secs)
+        if time.monotonic() - t_start > 120:  # per-level budget guard
+            break
     print(json.dumps({"cores": cores, "sec": round(best, 3), "n_docs": n}))
     spark.stop()
 

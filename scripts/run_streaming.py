@@ -10,6 +10,13 @@ checkpoint dir plays state.yml.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# repo root on sys.path: these scripts live in scripts/; when shipped
+# via --py-files the package is already importable and this is a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 
