@@ -56,7 +56,10 @@ def url_normalize(url: Column | str) -> Column:
     scheme_host = F.lower(F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
     rest = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
     joined = F.when(scheme_host == "", no_frag).otherwise(F.concat(scheme_host, rest))
-    no_port = F.regexp_replace(joined, r"^(https?://[^/:]+):(?:80|443)(/|$)", r"$1$2")
+    # strip only the scheme-MATCHING default port: http://h:443 and
+    # https://h:80 are distinct origins and must stay distinct
+    no_port = F.regexp_replace(joined, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    no_port = F.regexp_replace(no_port, r"^(https://[^/:]+):443(/|$)", r"$1$2")
     return F.regexp_replace(no_port, r"(.)/$", r"$1")
 
 

@@ -8,22 +8,26 @@ groupBy with per-bucket caps, NEVER a pairwise cartesian across the
 corpus.
 
 Shuffle budget per operator (the thing that matters at 10^12 rows):
-- exact:        1 shuffle (groupBy fingerprint).
+- exact:        groupBy fingerprint (map-side combine) + join back.
 - minhash LSH:  signature map-side (UDF or Column exprs), explode bands,
-                1 shuffle (window over band buckets) + 1 shuffle
-                (groupBy url) — no join, no pairs.
+                groupBy (band,bucket) min — partial aggregation runs
+                map-side, so a boilerplate mega-bucket never lands on
+                one task the way a window sort would — then join +
+                groupBy url fold-back. No pairs anywhere.
 - simhash:      map-side signature; candidate pairing via band buckets
                 like minhash.
-- ngram-jaccard: explode shingles, self-join on shingle with a
-                document-frequency cap so a stop-shingle cannot create
-                a quadratic bucket.
+- ngram-jaccard: explode shingle hashes (sizes carried inline, so the
+                shingling pass runs exactly ONCE), groupBy shingle into
+                document-frequency-capped buckets, emit ordered pairs
+                per bucket JVM-side, groupBy pair. Two shuffles total,
+                no self-join, no recompute, no persist barrier.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -50,13 +54,20 @@ def mark_exact_duplicates(
     df: DataFrame, key_col: str, text_col: str, out_col: str = "is_exact_dup"
 ) -> DataFrame:
     """Keep the row with the smallest key per fingerprint group; flag the
-    rest. One shuffle (window over fingerprint)."""
-    fp = normalized_fingerprint(text_col)
-    w = Window.partitionBy("_fp")
+    rest.
+
+    groupBy-min + join back, NOT a window: partial aggregation combines
+    map-side, so a fingerprint shared by millions of identical pages
+    (the boilerplate mega-group) reduces to one row per map task before
+    the shuffle; a window would sort the whole group on a single task.
+    AQE skew-join splitting covers the join side of the hot key.
+    """
+    with_fp = df.withColumn("_fp", normalized_fingerprint(text_col))
+    mins = with_fp.groupBy("_fp").agg(F.min(key_col).alias("_min_key"))
     return (
-        df.withColumn("_fp", fp)
-        .withColumn(out_col, F.col(key_col) > F.min(key_col).over(w))
-        .drop("_fp")
+        with_fp.join(mins, on="_fp")
+        .withColumn(out_col, F.col(key_col) > F.col("_min_key"))
+        .drop("_fp", "_min_key")
     )
 
 
@@ -176,13 +187,24 @@ def mark_lsh_duplicates(
     bands: int = 16,
     rows_per_band: int = 8,
     out_col: str = "is_duplicate",
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """Flag docs that share any LSH band bucket with a smaller-keyed doc.
 
-    No pairs are ever materialized: a window-min per (band, bucket),
-    then a groupBy per key. Keeps exactly one representative (the min
+    No pairs are ever materialized: groupBy-min per (band, bucket) —
+    partial aggregation runs map-side, so a boilerplate mega-bucket
+    (thousands of near-identical pages sharing a band) combines before
+    the shuffle instead of sorting on one task as a window would — then
+    a join back onto the exploded frame (AQE splits the skewed join key)
+    and a groupBy per doc key. Keeps exactly one representative (the min
     key) per near-dup cluster component discovered through shared
     buckets.
+
+    ``canonical_col``: optionally also emit the smallest key sharing a
+    bucket with this doc (the cluster representative) — the provenance
+    hook: a dropped duplicate's lineage points at its canonical doc
+    (members/inputs fold-back analog,
+    /root/reference/gemProc2caom2/provenance_augmentation.py:240-258).
     """
     other_cols = [c for c in df.columns]
     exploded = (
@@ -195,15 +217,22 @@ def mark_lsh_duplicates(
             ),
         )
     )
-    w = Window.partitionBy("_band", "_bucket")
+    bucket_mins = exploded.groupBy("_band", "_bucket").agg(
+        F.min(key_col).alias("_bucket_min")
+    )
     dup_flags = (
-        exploded.withColumn("_min_key", F.min(key_col).over(w))
+        exploded.join(bucket_mins, on=["_band", "_bucket"])
         .groupBy(key_col)
-        .agg(F.max(F.col("_min_key") < F.col(key_col)).alias(out_col))
+        .agg(F.min("_bucket_min").alias("_canon_key"))
     )
-    return df.join(dup_flags, on=key_col, how="left").select(
-        *other_cols, F.coalesce(F.col(out_col), F.lit(False)).alias(out_col)
-    )
+    canon = F.when(F.col("_canon_key") < F.col(key_col), F.col("_canon_key"))
+    out = [
+        *other_cols,
+        F.coalesce(F.col("_canon_key") < F.col(key_col), F.lit(False)).alias(out_col),
+    ]
+    if canonical_col:
+        out.append(canon.alias(canonical_col))
+    return df.join(dup_flags, on=key_col, how="left").select(*out)
 
 
 # ---------------------------------------------------------------------------
@@ -269,35 +298,55 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-k-gram Jaccard similarity.
 
-    explode distinct shingles -> drop shingles whose document frequency
-    exceeds ``max_doc_freq`` (stop-shingle cap: bounds the self-join
-    bucket size, the never-a-cartesian rule) -> self-join on shingle
-    with key1 < key2 -> intersection counts -> Jaccard.
+    Plan shape (two shuffles, no self-join, no recompute):
+
+    1. one shingling pass: per doc, distinct shingle HASHES (xxhash64 —
+       8-byte longs cross the shuffle, never the shingle strings) with
+       the doc's shingle count carried inline, then explode;
+    2. groupBy shingle hash into buckets; drop buckets larger than
+       ``max_doc_freq`` (stop-shingle cap: the never-a-cartesian rule);
+    3. emit ordered (key1 < key2) pairs per bucket JVM-side from the
+       sorted member array — bucket size is capped, so the per-row pair
+       array is bounded by max_doc_freq^2/2;
+    4. groupBy pair -> intersection counts; sizes ride along as grouping
+       keys, so no join back against a sizes frame.
 
     Returns (key1, key2, jaccard) with jaccard >= threshold.
     """
-    sh = (
-        df.select(
-            F.col(key_col).alias("_k"),
-            F.explode(F.array_distinct(word_shingles(text_col, k))).alias("_s"),
+    hashes = F.array_distinct(
+        F.transform(F.array_distinct(word_shingles(text_col, k)), lambda s: F.xxhash64(s))
+    )
+    exploded = (
+        df.select(F.col(key_col).alias("_k"), hashes.alias("_hs"))
+        .where(F.size("_hs") > 0)
+        .select("_k", F.size("_hs").alias("_n"), F.explode("_hs").alias("_h"))
+    )
+    buckets = (
+        exploded.groupBy("_h")
+        .agg(F.collect_list(F.struct("_k", "_n")).alias("_m"))
+        .where((F.size("_m") >= 2) & (F.size("_m") <= max_doc_freq))
+    )
+    ms = F.array_sort("_m")  # struct sort = by _k: ordered pairs for free
+    pair_arrays = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["_k"].alias("key1"),
+                    x["_n"].alias("_n1"),
+                    y["_k"].alias("key2"),
+                    y["_n"].alias("_n2"),
+                ),
+            ),
         )
     )
-    sizes = sh.groupBy("_k").agg(F.count("*").alias("_n"))
-    freq_ok = sh.groupBy("_s").agg(F.count("*").alias("_df")).where(
-        F.col("_df") <= max_doc_freq
-    )
-    sh_capped = sh.join(freq_ok.select("_s"), "_s")
-    pairs = (
-        sh_capped.alias("a")
-        .join(sh_capped.alias("b"), on="_s")
-        .where(F.col("a._k") < F.col("b._k"))
-        .groupBy(F.col("a._k").alias("key1"), F.col("b._k").alias("key2"))
-        .agg(F.count("*").alias("_inter"))
+    pairs = buckets.select(F.explode(pair_arrays).alias("p")).select("p.*")
+    counts = pairs.groupBy("key1", "_n1", "key2", "_n2").agg(
+        F.count("*").alias("_inter")
     )
     return (
-        pairs.join(sizes.withColumnRenamed("_k", "key1").withColumnRenamed("_n", "_n1"), "key1")
-        .join(sizes.withColumnRenamed("_k", "key2").withColumnRenamed("_n", "_n2"), "key2")
-        .withColumn(
+        counts.withColumn(
             "jaccard", F.col("_inter") / (F.col("_n1") + F.col("_n2") - F.col("_inter"))
         )
         .where(F.col("jaccard") >= threshold)

@@ -4,24 +4,37 @@ The reference persists todo/success/failure/retry/rejected/state files
 between invocations (/root/reference/config/config.yml:15,30-45,58-67)
 and its incremental mode re-runs only unprocessed work. Here:
 
-- a *run* writes results + audit under ``runs/<run_id>/`` and then
-  atomically drops a ``_COMMITTED`` marker (rename-based; a run killed
-  mid-write leaves no marker and is invisible to readers — the
-  poor-man's snapshot). On a real cluster this module is replaced by
-  Iceberg's snapshot commit (``writeTo(...).append()`` for results and
-  audit in one transaction); the protocol and call sites are identical.
-- *resume* = left ANTI join of the input against urls from committed
-  runs (todo minus done). Failed rows are simply never committed, so
-  the next run picks them up — retry semantics with no retry file.
+- a *run* writes results + a compact keys ledger + audit under
+  ``runs/<run_id>/`` and then atomically drops a ``_COMMITTED`` marker
+  (a run killed mid-write leaves no marker and is invisible to readers
+  — the poor-man's snapshot). On a real cluster this module is replaced
+  by Iceberg's snapshot commit (``writeTo(...).append()`` for results,
+  keys and audit in one transaction); the protocol and call sites are
+  identical.
+- *resume* = left ANTI join of the input against the committed KEYS
+  ledger on the 64-bit ``url_hash`` (todo minus done) — never against
+  the full results (the ledger is ~16 bytes/doc + band keys, not the
+  curated text), and never on url strings. Failed rows are simply never
+  committed, so the next run picks them up — retry semantics with no
+  retry file.
 - *rejected* (known-bad, never retry) = committed audit rows with
-  drop_reason='rejected'; they stay dropped through the anti-join of
-  the curated table only, and are excluded from reprocessing via the
-  rejected set.
+  drop_reason='rejected'; they stay excluded through the same keys
+  anti-join.
+- *cross-run dedup*: within-batch near-dup detection is batch-local
+  (the LSH self-fold inside ``curate``); ACROSS runs, each run's keys
+  ledger carries the LSH band bucket keys of its docs, and a new batch
+  is additionally checked against the union of committed buckets — a
+  doc sharing any band bucket with a committed doc is dropped as
+  'duplicate'. Output quality is therefore run-order independent for
+  duplicates (the committed doc always wins), at the cost of one
+  semi-join per run against the compact bucket set.
+
+All paths go through the Hadoop FileSystem API, so ``out_dir`` may be
+file:///, hdfs:// or s3a:// — no driver-side os.listdir.
 """
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,27 +47,81 @@ from gemproc2caom2_spark.operators.heuristics import DEFAULT_RULES, RuleConfig
 _MARKER = "_COMMITTED"
 
 
-def _runs_root(out_dir: str) -> str:
-    return os.path.join(out_dir, "runs")
+# ---------------------------------------------------------------------------
+# filesystem helpers (scheme-agnostic via the Hadoop FS API)
+# ---------------------------------------------------------------------------
 
 
-def committed_run_ids(out_dir: str) -> list[str]:
-    root = _runs_root(out_dir)
-    if not os.path.isdir(root):
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _fs_listdir(spark: SparkSession, path: str) -> list[str]:
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
         return []
-    return sorted(
-        r for r in os.listdir(root)
-        if os.path.exists(os.path.join(root, r, _MARKER))
-    )
+    return sorted(st.getPath().getName() for st in fs.listStatus(hpath))
+
+
+def _fs_touch(spark: SparkSession, path: str) -> None:
+    """Atomic-enough commit marker: create-if-absent (HDFS/local rename
+    semantics; on object stores the marker PUT is the atomic unit)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, False)
+    out.close()
+
+
+def _join(*parts: str) -> str:
+    return "/".join(p.rstrip("/") for p in parts)
+
+
+# ---------------------------------------------------------------------------
+# ledger reads
+# ---------------------------------------------------------------------------
+
+
+def _runs_root(out_dir: str) -> str:
+    return _join(out_dir, "runs")
+
+
+def committed_run_ids(spark: SparkSession, out_dir: str) -> list[str]:
+    root = _runs_root(out_dir)
+    return [
+        r
+        for r in _fs_listdir(spark, root)
+        if _fs_exists(spark, _join(root, r, _MARKER))
+    ]
 
 
 def committed_results(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """Union of all committed runs' results (the curated table view)."""
-    runs = committed_run_ids(out_dir)
+    runs = committed_run_ids(spark, out_dir)
     if not runs:
         return None
-    paths = [os.path.join(_runs_root(out_dir), r, "results") for r in runs]
+    paths = [_join(_runs_root(out_dir), r, "results") for r in runs]
     return spark.read.parquet(*paths)
+
+
+def committed_keys(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Compact ledger of committed work: (url_hash, lsh_bands)."""
+    runs = committed_run_ids(spark, out_dir)
+    if not runs:
+        return None
+    paths = [_join(_runs_root(out_dir), r, "keys") for r in runs]
+    return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# incremental run
+# ---------------------------------------------------------------------------
 
 
 def run_incremental(
@@ -64,43 +131,83 @@ def run_incremental(
     run_id: str | None = None,
     rules: RuleConfig = DEFAULT_RULES,
     num_partitions: int | None = None,
+    cross_run_dedup: bool = True,
 ) -> tuple[str, int]:
-    """Process only not-yet-committed urls; commit results + audit
+    """Process only not-yet-committed urls; commit results + keys + audit
     atomically. Returns (run_id, n_processed)."""
     run_id = run_id or uuid.uuid4().hex[:12]
-    done = committed_results(spark, out_dir)
+    done = committed_keys(spark, out_dir)
     todo = input_df
     if done is not None:
-        # anti join on normalized url: todo minus done (ledger semantics).
-        # `done` is keyed by normalized url; normalize the input side the
-        # same way before comparing.
+        # anti join on the 64-bit url_hash of the NORMALIZED url — the
+        # exact key curate() derives — against the compact keys ledger.
         from gemproc2caom2_spark.functions.hashing import url_normalize
 
-        todo = input_df.withColumn("_url_norm", url_normalize("url")).join(
-            done.select(F.col("url").alias("_url_norm")).distinct(),
-            on="_url_norm",
-            how="left_anti",
-        ).drop("_url_norm")
+        todo = (
+            input_df.withColumn("_uh", F.xxhash64(url_normalize("url")))
+            .join(
+                done.select(F.col("url_hash").alias("_uh")).distinct(),
+                on="_uh",
+                how="left_anti",
+            )
+            .drop("_uh")
+        )
 
-    curated = curate(todo, rules=rules, num_partitions=num_partitions)
+    curated = curate(todo, rules=rules, num_partitions=num_partitions, emit_bands=True)
 
-    run_dir = os.path.join(_runs_root(out_dir), run_id)
-    results_path = os.path.join(run_dir, "results")
-    audit_path = os.path.join(run_dir, "audit")
-    curated.write.mode("overwrite").parquet(results_path)
+    if cross_run_dedup and done is not None:
+        # a doc sharing any LSH band bucket with a committed doc is a
+        # cross-run near-duplicate: the committed doc is canonical
+        # (band index is baked into each bucket hash, so a flat
+        # semi-join on the bucket value is band-correct)
+        prev_buckets = (
+            done.where(F.col("lsh_bands").isNotNull())
+            .select(F.explode("lsh_bands").alias("_bk"))
+            .distinct()
+        )
+        xdup = (
+            curated.where(F.col("lsh_bands").isNotNull())
+            .select("url_hash", F.explode("lsh_bands").alias("_bk"))
+            .join(prev_buckets, on="_bk", how="left_semi")
+            .select("url_hash")
+            .distinct()
+            .withColumn("_xdup", F.lit(True))
+        )
+        curated = (
+            curated.join(xdup, on="url_hash", how="left")
+            .withColumn(
+                "drop_reason",
+                F.when(
+                    F.coalesce(F.col("_xdup"), F.lit(False)) & F.col("keep"),
+                    F.lit("duplicate"),
+                ).otherwise(F.col("drop_reason")),
+            )
+            .withColumn("keep", F.col("drop_reason").isNull())
+            .drop("_xdup")
+        )
 
-    # audit from the just-written results (no recompute of the DAG)
+    run_dir = _join(_runs_root(out_dir), run_id)
+    results_path = _join(run_dir, "results")
+    keys_path = _join(run_dir, "keys")
+    curated.drop("lsh_bands").write.mode("overwrite").parquet(results_path)
+
+    # derive keys + audit from the just-written results (no DAG recompute)
     written = spark.read.parquet(results_path)
-    metrics = partition_metrics(written, run_id, stage="curate")
-    rollup = drop_reason_rollup(written, run_id).withColumnRenamed(
-        "drop_reason", "stage"
-    ).withColumnRenamed("n_docs", "n_in")
-    metrics.select("run_id", "stage", "n_in").unionByName(
-        rollup.select("run_id", "stage", "n_in")
-    ).write.mode("overwrite").parquet(audit_path)
+    # band keys must come from the curated frame (results drop them);
+    # re-running just the bands projection reads the shuffle/cache, and
+    # the keys frame is 2 columns of longs — cheap either way
+    curated.select("url_hash", "lsh_bands").write.mode("overwrite").parquet(keys_path)
+
+    # two SEPARATE audit frames (a lossy union would discard wall_ms /
+    # n_kept): per-partition metrics + per-reason rollup
+    partition_metrics(written, run_id, stage="curate").write.mode(
+        "overwrite"
+    ).parquet(_join(run_dir, "audit_metrics"))
+    drop_reason_rollup(written, run_id).write.mode("overwrite").parquet(
+        _join(run_dir, "audit_rollup")
+    )
 
     n = written.count()
-    # atomic commit marker: the rename/creat is the snapshot boundary
-    with open(os.path.join(run_dir, _MARKER), "w") as f:
-        f.write(run_id)
+    # atomic commit marker: the create is the snapshot boundary
+    _fs_touch(spark, _join(run_dir, _MARKER))
     return run_id, n

@@ -51,11 +51,23 @@ from gemproc2caom2_spark.operators.heuristics import (
 )
 from gemproc2caom2_spark.operators.verdict import drop_reason_expr
 
-# verdict output columns (the flat CAOM2-Observation analog, SURVEY §1.1)
+# verdict output columns (the flat CAOM2-Observation analog, SURVEY §1.1;
+# `lineage` is the PROVENANCE-BINTABLE analog: array<struct<url,rel>> —
+# today it carries the canonical doc a duplicate was folded into)
 OUTPUT_COLUMNS = [
     "url", "url_hash", "host", "warc_ts", "lang_claimed", "lang_pred",
     "quality", "perplexity", "scrubbed_text", "keep", "drop_reason",
+    "lineage",
 ]
+
+# stage-set selection — the task_types analog
+# (/root/reference/config/config.yml:74-87; run_single.py:94 runs with
+# meta_visitors=[]): every stage is independently toggleable. A disabled
+# stage leaves its output columns null/pass-through, and the null-safe
+# verdict gates simply don't fire — same contract as the reference's
+# missing-keyword guards.
+ALL_STAGES = ("collapse", "extract", "langid", "heuristics", "perplexity",
+              "scrub", "dedup")
 
 
 def cheap_drop_reason(text: Column, q: Column, lang_pred: Column,
@@ -87,9 +99,20 @@ def curate(
     num_partitions: int | None = None,
     dedup: bool = True,
     persist_for_dedup: bool = True,
+    stages: tuple[str, ...] = ALL_STAGES,
+    emit_bands: bool = False,
 ) -> DataFrame:
     """Full curation DAG over an input-schema DataFrame
-    (url, warc_ts, html, text, lang) -> OUTPUT_COLUMNS."""
+    (url, warc_ts, html, text, lang) -> OUTPUT_COLUMNS.
+
+    ``stages`` selects the stage subset (task_types analog); ``dedup``
+    is an additional master switch for the dedup stage (back-compat).
+    ``emit_bands`` appends an ``lsh_bands array<long>`` column (the LSH
+    band bucket keys) so the checkpoint ledger can dedup ACROSS runs —
+    a new batch anti-joins its buckets against committed ones
+    (plans/checkpoint.py)."""
+    run = set(stages)
+    dedup = dedup and "dedup" in run
     # ---- key/partition stage (builder.py:90-155 analog) ----
     d = df.select(
         url_normalize("url").alias("url"),
@@ -99,26 +122,58 @@ def curate(
         F.col("lang").alias("lang_claimed"),
     ).withColumn("url_hash", F.xxhash64("url")).withColumn("host", url_host("url"))
 
+    # ---- recapture collapse: one row per normalized url ----
+    # A crawl recaptures the same url; keep the LATEST capture (ties
+    # broken by text hash for determinism). Done BEFORE extract so a
+    # recaptured page never pays the Arrow/regex stages twice, and so
+    # every downstream key (url_hash) is unique — the keyed dedup ops
+    # rely on that. groupBy + max_by (partial agg combines map-side;
+    # a window over url would sort entire hot groups on one task).
+    if "collapse" in run:
+        payload = F.struct("url", "warc_ts", "html", "text", "lang_claimed", "host")
+        order = F.struct(
+            F.col("warc_ts"),
+            F.xxhash64(F.coalesce(F.col("text"), F.lit(""))),
+        )
+        d = (
+            d.groupBy("url_hash")
+            .agg(F.max_by(payload, order).alias("_r"))
+            .select("url_hash", "_r.*")
+        )
+
     # ---- extract stage (header-parse analog; drops `html` right after) ----
     # the UDF input is null-gated on the stored text, so rows that
     # already carry text never ship their html bytes through Arrow
-    d = d.withColumn(
-        "text_extracted",
-        F.coalesce(
-            F.col("text"),
-            extract_text_udf(F.when(F.col("text").isNull(), F.col("html"))),
-        ),
-    ).drop("html", "text")
+    if "extract" in run:
+        d = d.withColumn(
+            "text_extracted",
+            F.coalesce(
+                F.col("text"),
+                extract_text_udf(F.when(F.col("text").isNull(), F.col("html"))),
+            ),
+        ).drop("html", "text")
+    else:
+        d = d.withColumn("text_extracted", F.col("text")).drop("html", "text")
 
     # ---- langid + heuristics (pure Column exprs, codegen'd) ----
     # langid reads the LANGID_CAP prefix: language is decidable from a
     # few KB, and the stopword regexes must not rescan a 10 MB outlier
     from gemproc2caom2_spark.operators.heuristics import LANGID_CAP
 
+    # disabled langid trusts the claimed metadata (skipping the
+    # re-derivation stage, the meta_visitors=[] analog); disabled
+    # heuristics yields a null-metric struct so no quality gate fires
     d = d.withColumn(
         "lang_pred",
-        langid_expr(F.substring(F.col("text_extracted"), 1, LANGID_CAP)),
-    ).withColumn("quality", quality_struct("text_extracted"))
+        langid_expr(F.substring(F.col("text_extracted"), 1, LANGID_CAP))
+        if "langid" in run
+        else F.col("lang_claimed"),
+    ).withColumn(
+        "quality",
+        quality_struct("text_extracted")
+        if "heuristics" in run
+        else quality_struct(F.lit(None).cast("string")),
+    )
 
     # ---- salted repartition: shuffle AND materialization barrier ----
     # Row-local regex stages above run balanced on the input's byte-sized
@@ -141,7 +196,12 @@ def curate(
 
     # ---- expensive kernels, null-gated on the cheap verdict ----
     gated_text = F.when(F.col("_cheap_reason").isNull(), F.col("text_extracted"))
-    d = d.withColumn("perplexity", F.round(perplexity_udf(gated_text), 6))
+    d = d.withColumn(
+        "perplexity",
+        F.round(perplexity_udf(gated_text), 6)
+        if "perplexity" in run
+        else F.lit(None).cast("double"),
+    )
 
     # ---- scrub (byte-identical, JVM regexp chain) ----
     # only docs that survive the cheap gates get scrubbed output: the
@@ -150,7 +210,12 @@ def curate(
     # SCIENCE parts, main_app.py:221-224)
     d = d.withColumn(
         "scrubbed_text",
-        F.when(F.col("_cheap_reason").isNull(), scrub_expr("text_extracted")),
+        F.when(
+            F.col("_cheap_reason").isNull(),
+            scrub_expr("text_extracted")
+            if "scrub" in run
+            else F.col("text_extracted"),
+        ),
     )
 
     if dedup:
@@ -175,15 +240,40 @@ def curate(
             from pyspark import StorageLevel
 
             d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        pre_lsh = d
         d = mark_lsh_duplicates(
             d,
             key_col="url_hash",
             sig_col="minhash_sig",
             bands=rules.lsh_bands,
             rows_per_band=rules.num_minhash_perms // rules.lsh_bands,
+            canonical_col="_canon_key",
+        )
+        # ---- lineage enrichment (J5 analog): resolve the canonical
+        # key back to its url via a self-lookup on the persisted frame
+        # (explode bands -> join -> fold back is inside
+        # mark_lsh_duplicates; this join is the member-metadata
+        # propagation, provenance_augmentation.py:240-258) ----
+        canon_urls = pre_lsh.select(
+            F.col("url_hash").alias("_canon_key"), F.col("url").alias("_canon_url")
+        )
+        d = d.join(canon_urls, on="_canon_key", how="left").withColumn(
+            "lineage",
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.col("_canon_url").alias("url"),
+                        F.lit("duplicate_of").alias("rel"),
+                    )
+                ),
+                lambda x: x["url"].isNotNull(),
+            ),
         )
     else:
-        d = d.withColumn("is_duplicate", F.lit(False))
+        d = d.withColumn("is_duplicate", F.lit(False)).withColumn(
+            "lineage",
+            F.array().cast("array<struct<url:string,rel:string>>"),
+        )
 
     # ---- verdict (full precedence chain, single source of truth) ----
     reason = drop_reason_expr(
@@ -198,4 +288,22 @@ def curate(
     d = d.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
-    return d.select(*OUTPUT_COLUMNS)
+    out_cols = list(OUTPUT_COLUMNS)
+    if emit_bands:
+        from gemproc2caom2_spark.operators.dedup import band_keys_expr
+
+        bands_col = (
+            F.when(
+                F.col("minhash_sig").isNotNull(),
+                band_keys_expr(
+                    "minhash_sig",
+                    rules.lsh_bands,
+                    rules.num_minhash_perms // rules.lsh_bands,
+                ),
+            )
+            if dedup
+            else F.lit(None).cast("array<bigint>")
+        )
+        d = d.withColumn("lsh_bands", bands_col)
+        out_cols.append("lsh_bands")
+    return d.select(*out_cols)

@@ -279,20 +279,23 @@ def tx1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx2_quality_metrics",
+    # all metrics except doc_len are computed over the first
+    # ANALYSIS_CAP=16384 chars, mirroring heuristics.quality_struct
     f"""
     WITH l AS (
-      SELECT doc_id, text,
-             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+      SELECT doc_id, text, substring(text, 1, 16384) AS t,
+             list_filter(list_transform(
+                 string_split(substring(text, 1, 16384), chr(10)), x -> trim(x)),
                          x -> x <> '') AS lines
       FROM documents)
     SELECT doc_id,
            length(text)::BIGINT AS doc_len,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len({_SQL_WORDS.replace("lower(text)", "text")}) END::BIGINT AS n_words,
-           round(length(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
-                 / length(text), 6) AS symbol_ratio,
-           round(length(regexp_extract_all(lower(text), '[^a-z \\.,;:!?''\\n-]'))
-                 / length(text), 6) AS rare_char_ratio,
+           CASE WHEN trim(t) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(t), '\\s+')) END::BIGINT AS n_words,
+           round(length(regexp_extract_all(t, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
+                 / length(t), 6) AS symbol_ratio,
+           round(length(regexp_extract_all(lower(t), '[^a-z \\.,;:!?''\\n-]'))
+                 / length(t), 6) AS rare_char_ratio,
            round(CASE WHEN len(lines) > 0
                  THEN list_sum(list_transform(lines, x -> length(x)))::DOUBLE / len(lines)
                  END, 6) AS mean_line_len,
@@ -447,10 +450,12 @@ _Q_LINES = (
     WITH m AS (
       SELECT doc_id, text,
              length(text) AS doc_len,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
-             length(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
-               / nullif(length(text), 0) AS symbol_ratio,
+             -- n_words / symbol_ratio over the ANALYSIS_CAP=16384 prefix,
+             -- mirroring heuristics.quality_struct; doc_len stays exact
+             CASE WHEN trim(substring(text, 1, 16384)) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(substring(text, 1, 16384)), '\\s+')) END AS n_words,
+             length(regexp_extract_all(substring(text, 1, 16384), '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
+               / nullif(length(substring(text, 1, 16384)), 0) AS symbol_ratio,
              {langid_sql('text')} AS lang_pred
       FROM documents)
     SELECT doc_id, lang_pred,
@@ -509,6 +514,92 @@ def cur2_heuristic_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
         scrub_expr("text").alias("scrubbed_text"),
+    )
+
+
+# ANALYSIS_CAP / LANGID_CAP prefixes, mirroring heuristics.py
+_T16 = "substring(text, 1, 16384)"
+_T4 = "substring(text, 1, 4096)"
+_PPL_FIXTURE = "/root/repo/tests/fixtures/perplexity_oracle.parquet"
+
+
+@register(
+    "cur3_flagship_oracle",
+    f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             length(text) AS doc_len,
+             CASE WHEN trim({_T16}) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim({_T16}), '\\s+')) END AS n_words,
+             length(regexp_extract_all({_T16}, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
+               / nullif(length({_T16}), 0) AS symbol_ratio,
+             length(regexp_extract_all(lower({_T16}), '[^a-z \\.,;:!?''\\n-]'))
+               / nullif(length({_T16}), 0) AS rare_char_ratio,
+             list_filter(list_transform(string_split({_T16}, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines,
+             {langid_sql(_T4)} AS lang_pred
+      FROM documents),
+    c AS (
+      SELECT *,
+             CASE WHEN len(lines) > 0
+                  THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                  END AS repeated_line_frac
+      FROM m),
+    v AS (
+      SELECT *,
+             CASE WHEN text IS NULL OR doc_len = 0 THEN 'empty'
+                  WHEN doc_len < 120 THEN 'min_length'
+                  WHEN doc_len > 200000 THEN 'max_length'
+                  WHEN n_words < 20 THEN 'min_words'
+                  WHEN lower({_T16}) LIKE '%lorem ipsum%'
+                       OR lower({_T16}) LIKE '%under construction%' THEN 'placeholder'
+                  WHEN lang_pred <> 'en' THEN 'langid'
+                  WHEN symbol_ratio > 0.10 THEN 'symbol_ratio'
+                  WHEN rare_char_ratio > 0.25 THEN 'rare_chars'
+                  WHEN repeated_line_frac > 0.30 THEN 'repeated_lines'
+                  ELSE NULL END AS cheap
+      FROM c),
+    p AS (
+      SELECT v.*,
+             CASE WHEN v.cheap IS NULL THEN fx.ppl_r6 END AS perplexity
+      FROM v LEFT JOIN read_parquet('{_PPL_FIXTURE}') fx
+        ON md5(v.text) = fx.text_md5)
+    SELECT doc_id, lang_pred,
+           coalesce(cheap, CASE WHEN perplexity > 60.0 THEN 'perplexity' END)
+             AS drop_reason,
+           (coalesce(cheap, CASE WHEN perplexity > 60.0 THEN 'perplexity' END)
+             IS NULL) AS keep,
+           perplexity,
+           CASE WHEN cheap IS NULL THEN {scrub_sql('text')} END AS scrubbed_text
+    FROM p
+    """,
+)
+def cur3_flagship_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL flagship verdict — langid + capped quality gates +
+    Arrow-perplexity gate + byte-identical scrub — oracle-checked end to
+    end. The perplexity values come from a golden fixture parquet keyed
+    by md5(text), generated by the pinned scalar implementation
+    (tests/gen_fixtures.py; the reference's golden-regeneration pattern,
+    tests/test_main_app.py:171-186). Dedup is off here (cluster-level
+    LSH on xxhash64 is not SQL-replicable; cur1 covers it rows-only)."""
+    from gemproc2caom2_spark.plans.pipeline import curate
+
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2025-07-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = curate(d, dedup=False)
+    return out.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "lang_pred",
+        "drop_reason",
+        "keep",
+        "perplexity",
+        "scrubbed_text",
     )
 
 

@@ -49,8 +49,19 @@ def run_available_now(
     rules: RuleConfig = DEFAULT_RULES,
 ) -> None:
     """Incremental batch: curate all new files since the last checkpoint,
-    append to the curated table, exit. Exactly-once per input file via
-    the streaming checkpoint (the state.yml analog)."""
+    write to the curated table, exit.
+
+    Effectively exactly-once per input file: foreachBatch alone is only
+    at-least-once (a crash between the sink write and the streaming
+    checkpoint commit replays the epoch), so each epoch writes to its
+    own ``epoch_id=<n>`` partition directory in OVERWRITE mode — a
+    replayed epoch rewrites the same directory with the same rows
+    (idempotent), never appends a second copy. The batch path's
+    _COMMITTED marker (plans/checkpoint.py) is the same idea.
+
+    Dedup scope is BATCH-LOCAL here (a near-dup of a doc from an earlier
+    epoch is not flagged); cross-epoch dedup belongs to the batch
+    compaction pass (plans/checkpoint.run_incremental cross_run_dedup)."""
     src = stream_source(spark, input_dir)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -61,7 +72,7 @@ def run_available_now(
             dedup=True,
             persist_for_dedup=True,
         )
-        out.write.mode("append").parquet(output_dir)
+        out.write.mode("overwrite").parquet(f"{output_dir}/epoch_id={epoch_id}")
 
     q = (
         src.writeStream.foreachBatch(_process)

@@ -1,13 +1,17 @@
 """Checkpoint/resume protocol tests (the ledger semantics,
 /root/reference/config/config.yml:15,30-45,58-67): resume skips
-committed work, a crashed run is invisible and retried, empty inputs
-are no-ops, audit rows land with the commit."""
+committed work via the compact url_hash keys ledger, a crashed run is
+invisible and retried, empty inputs are no-ops, audit rows land with
+the commit, and cross-run near-duplicates are dropped."""
 
 from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from gemproc2caom2_spark.plans.checkpoint import (
+    committed_keys,
     committed_results,
     committed_run_ids,
     run_incremental,
@@ -21,7 +25,7 @@ def test_resume_crash_retry(spark, tmp_path):
 
     rid, n = run_incremental(spark, corpus, out, run_id="r1", num_partitions=8)
     assert (rid, n) == ("r1", 45)
-    assert committed_run_ids(out) == ["r1"]
+    assert committed_run_ids(spark, out) == ["r1"]
 
     # resume: nothing new
     _, n2 = run_incremental(spark, corpus, out, run_id="r2")
@@ -34,19 +38,65 @@ def test_resume_crash_retry(spark, tmp_path):
 
     # crash simulation: commit marker removed -> run invisible + retried
     os.remove(os.path.join(out, "runs", "r3", "_COMMITTED"))
-    assert committed_run_ids(out) == ["r1", "r2"]  # empty r2 still committed
+    assert committed_run_ids(spark, out) == ["r1", "r2"]  # empty r2 still committed
     assert committed_results(spark, out).count() == 45
     _, n4 = run_incremental(spark, bigger, out, run_id="r4", num_partitions=8)
     assert n4 == 15
     assert committed_results(spark, out).count() == 60
 
-    # audit rows committed alongside results
-    audit = spark.read.parquet(os.path.join(out, "runs", "r1", "audit"))
-    rows = audit.collect()
-    assert all(r.run_id == "r1" for r in rows)
-    stages = {r.stage for r in rows}
-    assert "curate" in stages          # per-partition metrics
-    assert any(s not in (None, "curate") for s in stages)  # drop-reason rollup
+    # the keys ledger is compact (url_hash + band keys) and complete
+    keys = committed_keys(spark, out)
+    assert set(keys.columns) == {"url_hash", "lsh_bands"}
+    assert keys.select("url_hash").distinct().count() == 60
+
+    # audit frames committed alongside results, SEPARATELY (no lossy union)
+    metrics = spark.read.parquet(os.path.join(out, "runs", "r1", "audit_metrics"))
+    assert {f.name for f in metrics.schema.fields} >= {
+        "run_id", "stage", "partition_id", "n_in", "n_kept", "n_dropped", "wall_ms"
+    }
+    assert metrics.agg(F.sum("n_in")).collect()[0][0] == 45
+    rollup = spark.read.parquet(os.path.join(out, "runs", "r1", "audit_rollup"))
+    assert rollup.agg(F.sum("n_docs")).collect()[0][0] == 45
+
+
+def test_cross_run_duplicate_dropped(spark, tmp_path):
+    """A near-duplicate of a doc committed in an EARLIER run is dropped
+    in a later run (run-order-independent dedup via the bands ledger)."""
+    out = str(tmp_path / "o")
+    corpus = generate_corpus(spark, 60, with_category=True)
+    a = corpus.where(F.col("category") != "near_dup_b").drop("category")
+    b_urls = corpus.where(F.col("category") == "near_dup_b").select("url")
+    b = corpus.drop("category").join(b_urls, on="url", how="left_semi")
+
+    run_incremental(spark, a, out, run_id="r1", num_partitions=8)
+    # second run contains only the near-dup partners of committed docs
+    run_incremental(
+        spark, corpus.drop("category"), out, run_id="r2", num_partitions=8
+    )
+    res = committed_results(spark, out)
+    dup_rows = res.join(b_urls, on="url", how="left_semi").collect()
+    assert dup_rows, "near_dup_b docs missing from results"
+    assert all(r.drop_reason == "duplicate" for r in dup_rows), [
+        (r.url, r.drop_reason) for r in dup_rows
+    ]
+
+    # disabling cross-run dedup keeps batch-local semantics
+    out2 = str(tmp_path / "o2")
+    run_incremental(spark, a, out2, run_id="r1", num_partitions=8)
+    run_incremental(
+        spark,
+        corpus.drop("category"),
+        out2,
+        run_id="r2",
+        num_partitions=8,
+        cross_run_dedup=False,
+    )
+    res2 = committed_results(spark, out2)
+    dup2 = res2.join(b_urls, on="url", how="left_semi").collect()
+    # batch-local: the r2 batch contains ONLY the b docs (a docs are
+    # anti-joined away), so their a-partners are absent and the pair
+    # cannot be caught within the batch
+    assert all(r.drop_reason != "duplicate" for r in dup2)
 
 
 def test_empty_input(spark, tmp_path):
@@ -54,4 +104,4 @@ def test_empty_input(spark, tmp_path):
     corpus = generate_corpus(spark, 15).limit(0)
     _, n = run_incremental(spark, corpus, out, run_id="r0")
     assert n == 0
-    assert committed_run_ids(out) == ["r0"]
+    assert committed_run_ids(spark, out) == ["r0"]
