@@ -24,9 +24,18 @@ BPEISH_TOKEN_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
 # "symbol" = anything outside letters / digits / whitespace / basic
 # sentence punctuation. High symbol ratio flags markup/encoding junk.
 # \w and \s are expanded to their explicit ASCII sets: identical
-# semantics in Java, RE2 and Python-ASCII, and Java compiles literal
-# classes to a bitmap (10x faster than the \w/\s predicate nodes).
+# semantics in Java, RE2 and Python-ASCII. SYMBOL_RE is what external
+# SQL oracles run; the Spark side counts the SAME set via translate()
+# (delete every allowed char, measure what's left): java.util.regex
+# counting of this class measured 10x slower per byte than translate
+# AND flat from 2 to 8 cores (a shared-resource stall), while translate
+# is a per-char map lookup that scales linearly. Parity is pinned by
+# the tx2/cur2/cur3 oracle checks.
 SYMBOL_RE = r"[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?'\"()\-]"
+_SYMBOL_ALLOWED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_"
+    " \t\n\x0b\f\r.,;:!?'\"()-"
+)
 
 
 def _c(col: Column | str) -> Column:
@@ -60,10 +69,11 @@ def token_count_bpeish(text: Column | str) -> Column:
 
 def symbol_ratio(text: Column | str) -> Column:
     """Fraction of characters that are 'symbols' (junk indicator).
-    regexp_count: no per-doc match-array materialization."""
+    translate-based set counting (see SYMBOL_RE note): delete every
+    allowed char, the remaining length IS the symbol count."""
     t = _c(text)
     n = F.length(t)
-    return F.when(n > 0, F.regexp_count(t, F.lit(SYMBOL_RE)) / n)
+    return F.when(n > 0, F.length(F.translate(t, _SYMBOL_ALLOWED, "")) / n)
 
 
 def digit_ratio(text: Column | str) -> Column:

@@ -188,6 +188,7 @@ def mark_lsh_duplicates(
     rows_per_band: int = 8,
     out_col: str = "is_duplicate",
     canonical_col: str | None = None,
+    canonical_attrs: DataFrame | None = None,
 ) -> DataFrame:
     """Flag docs that share any LSH band bucket with a smaller-keyed doc.
 
@@ -205,6 +206,11 @@ def mark_lsh_duplicates(
     hook: a dropped duplicate's lineage points at its canonical doc
     (members/inputs fold-back analog,
     /root/reference/gemProc2caom2/provenance_augmentation.py:240-258).
+
+    ``canonical_attrs``: optional (key_col, attr...) frame; its attrs
+    are resolved for the CANONICAL key and carried through the fold-back
+    — the join lands on the small flags frame (thin columns), never a
+    second join against the fat document frame.
     """
     other_cols = [c for c in df.columns]
     exploded = (
@@ -225,13 +231,25 @@ def mark_lsh_duplicates(
         .groupBy(key_col)
         .agg(F.min("_bucket_min").alias("_canon_key"))
     )
-    canon = F.when(F.col("_canon_key") < F.col(key_col), F.col("_canon_key"))
+    is_dup = F.col("_canon_key") < F.col(key_col)
+    attr_names: list[str] = []
+    if canonical_attrs is not None:
+        attr_names = [c for c in canonical_attrs.columns if c != key_col]
+        # one row per key, deterministically (max per attr): a caller
+        # with non-unique keys must not multiply rows through this join
+        attrs_unique = (
+            canonical_attrs.withColumnRenamed(key_col, "_canon_key")
+            .groupBy("_canon_key")
+            .agg(*[F.max(c).alias(c) for c in attr_names])
+        )
+        dup_flags = dup_flags.join(attrs_unique, on="_canon_key", how="left")
     out = [
         *other_cols,
-        F.coalesce(F.col("_canon_key") < F.col(key_col), F.lit(False)).alias(out_col),
+        F.coalesce(is_dup, F.lit(False)).alias(out_col),
     ]
     if canonical_col:
-        out.append(canon.alias(canonical_col))
+        out.append(F.when(is_dup, F.col("_canon_key")).alias(canonical_col))
+    out.extend(F.when(is_dup, F.col(c)).alias(c) for c in attr_names)
     return df.join(dup_flags, on=key_col, how="left").select(*out)
 
 

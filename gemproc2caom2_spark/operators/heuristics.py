@@ -89,6 +89,21 @@ def quality_struct(text: Column | str) -> Column:
     )
 
 
+def null_quality_struct() -> Column:
+    """All-null quality struct (same schema as quality_struct) for runs
+    with the heuristics stage disabled: every field null, so NO quality
+    gate fires (token_count_ws would coalesce null text to n_words=0 and
+    spuriously trip min_words)."""
+    return F.struct(
+        F.lit(None).cast("long").alias("doc_len"),
+        F.lit(None).cast("long").alias("n_words"),
+        F.lit(None).cast("double").alias("mean_line_len"),
+        F.lit(None).cast("double").alias("symbol_ratio"),
+        F.lit(None).cast("double").alias("repeated_line_frac"),
+        F.lit(None).cast("double").alias("rare_char_ratio"),
+    )
+
+
 def with_quality(df: DataFrame, text_col: str = "text_extracted",
                  out_col: str = "quality") -> DataFrame:
     return df.withColumn(out_col, quality_struct(text_col))

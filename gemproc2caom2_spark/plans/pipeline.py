@@ -19,9 +19,15 @@ Execution-cost shape (the part that must survive 100 TB):
   reorder across opaque UDFs;
 - one explicit salted repartition before the Arrow stages (UDF compute
   skew is NOT covered by AQE skew-join handling);
-- the only shuffles in the whole plan are: the salted repartition, the
-  LSH band window, and the groupBy/join that folds duplicate flags
-  back — independent of corpus text size, all keyed on 64-bit hashes.
+- the fat text column dies as early as possible: `html` right after
+  extract, `text_extracted` right after the minhash signature — the
+  persist barrier and the dedup fold-back only ever carry scrubbed
+  text for keepable docs;
+- the shuffles in the whole plan are: the recapture collapse (groupBy
+  url_hash, map-side combining), the salted repartition, the LSH band
+  groupBy + fold-back join, and the thin canonical-url join on the
+  flags frame — independent of corpus text size, all keyed on 64-bit
+  hashes.
 """
 
 from __future__ import annotations
@@ -47,9 +53,9 @@ from gemproc2caom2_spark.operators.heuristics import (
     DEFAULT_RULES,
     RuleConfig,
     placeholder_flag,
+    null_quality_struct,
     quality_struct,
 )
-from gemproc2caom2_spark.operators.verdict import drop_reason_expr
 
 # verdict output columns (the flat CAOM2-Observation analog, SURVEY §1.1;
 # `lineage` is the PROVENANCE-BINTABLE analog: array<struct<url,rel>> —
@@ -172,7 +178,7 @@ def curate(
         "quality",
         quality_struct("text_extracted")
         if "heuristics" in run
-        else quality_struct(F.lit(None).cast("string")),
+        else null_quality_struct(),
     )
 
     # ---- salted repartition: shuffle AND materialization barrier ----
@@ -184,7 +190,12 @@ def curate(
     # into their many consumers. The cheap-reason chain is built AFTER
     # the barrier for the same reason: built before it, its quality/lang
     # references inline the full regex trees a second time (~2x CPU).
-    if num_partitions:
+    # The barrier is therefore NOT optional (measured: skipping it
+    # triples wall time): num_partitions=None auto-sizes to 2x the
+    # session parallelism; pass 0 to explicitly skip the shuffle.
+    if num_partitions is None:
+        num_partitions = 2 * int(df.sparkSession.sparkContext.defaultParallelism)
+    if num_partitions > 0:
         d = d.repartition(num_partitions, salted_partition_key("url", rules.n_salts))
 
     d = d.withColumn(
@@ -228,36 +239,45 @@ def curate(
         d = d.withColumn(
             "minhash_sig", sig_udf(shingle_hashes_expr(dedup_text, rules.shingle_k))
         )
+        # text_extracted ends its life here: the verdict below reads
+        # _cheap_reason (already folded from text), so the fat column —
+        # carried for EVERY doc, including 200KB+ max_length drops whose
+        # scrubbed_text is already null — never enters the persist or
+        # the dedup fold-back shuffle
+        d = d.drop("text_extracted")
         # MATERIALIZATION BARRIER. mark_lsh_duplicates forks the plan
         # (the frame joins an aggregate derived from itself); without a
         # barrier Spark recomputes the whole upstream DAG — extract,
-        # perplexity, signatures — once PER JOIN BRANCH. Persisting the
-        # post-signature frame makes both branches read attributes.
-        # (At full cluster scale the equivalent is staging this frame to
-        # a table/checkpoint before the dedup join — same protocol as
+        # perplexity, signatures — once PER JOIN BRANCH. The persist
+        # must be EAGER (count() before the multi-branch query): AQE
+        # launches the fork's independent map stages concurrently, and
+        # three stages racing to populate an un-materialized cache each
+        # recompute the full Arrow chain — measured 3x wall at 48k docs.
+        # One count pass makes every branch a cache read. (At full
+        # cluster scale the equivalent is staging this frame to a
+        # table/checkpoint before the dedup join — same protocol as
         # plans/checkpoint.py.)
         if persist_for_dedup:
             from pyspark import StorageLevel
 
             d = d.persist(StorageLevel.MEMORY_AND_DISK)
-        pre_lsh = d
+            d.count()
+        # ---- LSH dedup + lineage enrichment (J5 analog): explode
+        # bands -> fold back happens inside mark_lsh_duplicates; the
+        # canonical doc's url (member-metadata propagation,
+        # provenance_augmentation.py:240-258) is resolved on the SMALL
+        # flags frame, so exactly ONE join touches the fat frame ----
         d = mark_lsh_duplicates(
             d,
             key_col="url_hash",
             sig_col="minhash_sig",
             bands=rules.lsh_bands,
             rows_per_band=rules.num_minhash_perms // rules.lsh_bands,
-            canonical_col="_canon_key",
+            canonical_attrs=d.select(
+                "url_hash", F.col("url").alias("_canon_url")
+            ),
         )
-        # ---- lineage enrichment (J5 analog): resolve the canonical
-        # key back to its url via a self-lookup on the persisted frame
-        # (explode bands -> join -> fold back is inside
-        # mark_lsh_duplicates; this join is the member-metadata
-        # propagation, provenance_augmentation.py:240-258) ----
-        canon_urls = pre_lsh.select(
-            F.col("url_hash").alias("_canon_key"), F.col("url").alias("_canon_url")
-        )
-        d = d.join(canon_urls, on="_canon_key", how="left").withColumn(
+        d = d.withColumn(
             "lineage",
             F.filter(
                 F.array(
@@ -268,22 +288,24 @@ def curate(
                 ),
                 lambda x: x["url"].isNotNull(),
             ),
-        )
+        ).drop("_canon_url")
     else:
         d = d.withColumn("is_duplicate", F.lit(False)).withColumn(
             "lineage",
             F.array().cast("array<struct<url:string,rel:string>>"),
         )
 
-    # ---- verdict (full precedence chain, single source of truth) ----
-    reason = drop_reason_expr(
-        F.col("quality"),
-        F.col("lang_pred"),
-        F.col("perplexity"),
-        F.col("is_duplicate"),
-        F.lit(False),
-        F.col("text_extracted"),
-        rules,
+    # ---- verdict ----
+    # _cheap_reason IS the text-derived prefix of DROP_PRECEDENCE
+    # (empty .. repeated_lines; 'rejected' is fixed false in this DAG),
+    # so the full chain reduces to a coalesce with the two expensive
+    # gates — the verdict never rescans text (ordering pinned by the
+    # DROP_PRECEDENCE assertion in operators/verdict.py; batch-equality
+    # with drop_reason_expr is pinned by the golden suite)
+    reason = F.coalesce(
+        F.col("_cheap_reason"),
+        F.when(F.col("perplexity") > rules.max_perplexity, F.lit("perplexity")),
+        F.when(F.coalesce(F.col("is_duplicate"), F.lit(False)), F.lit("duplicate")),
     )
     d = d.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()

@@ -634,3 +634,142 @@ def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
     )
+
+
+# ===========================================================================
+# Lineage / provenance enrichment (J3, J5) + remaining gates (V11, A7)
+# ===========================================================================
+
+
+@register(
+    "j5_lineage_fold",
+    """
+    WITH l AS (
+      SELECT doc_id, doc_id - 1 AS ref,
+             CASE WHEN doc_id % 2 = 0 THEN 'member' ELSE 'input' END AS rel
+      FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id - 2 AS ref, 'input' AS rel FROM documents),
+    r AS (
+      SELECT l.doc_id, l.rel, d.source AS attr
+      FROM l JOIN documents d ON d.doc_id = l.ref)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list(attr))), ',') AS inputs,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list(attr) FILTER (rel = 'member'))), ','), '') AS members,
+           count(*)::BIGINT AS n_inputs,
+           sum(CASE WHEN rel = 'member' THEN 1 ELSE 0 END)::BIGINT AS n_members
+    FROM r GROUP BY doc_id
+    """,
+)
+def j5_lineage_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: explode per-doc lineage array -> resolve refs against the
+    docs dimension -> collect_set fold-back with the member/input split
+    (the PROVENANCE-BINTABLE flow,
+    provenance_augmentation.py:184-199,240-258). The lineage array is
+    synthesized deterministically (refs = doc_id-1, doc_id-2) so the
+    operator is oracle-checkable on the shared tables."""
+    from gemproc2caom2_spark.operators.lineage import fold_lineage
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lineage = F.array(
+        F.struct(
+            (did - 1).alias("ref"),
+            F.when(did % 2 == 0, "member").otherwise("input").alias("rel"),
+        ),
+        F.struct((did - 2).alias("ref"), F.lit("input").alias("rel")),
+    )
+    folded = fold_lineage(
+        d.withColumn("lineage", lineage),
+        key_col="doc_id",
+        lineage_col="lineage",
+        dim=d,
+        dim_key="doc_id",
+        attr_col="source",
+    )
+    return folded.select(
+        "doc_id",
+        F.array_join("inputs", ",").alias("inputs"),
+        F.array_join("members", ",").alias("members"),
+        "n_inputs",
+        "n_members",
+    )
+
+
+@register(
+    "j3_member_propagation",
+    """
+    WITH f AS (
+      SELECT source, min(doc_id) AS first_doc_id,
+             arg_min(lang, doc_id) AS first_lang
+      FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source, f.first_doc_id, f.first_lang
+    FROM documents d JOIN f USING (source)
+    """,
+)
+def j3_member_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: take the FIRST group member (min doc_id per source) and copy
+    its attributes onto every row of the group — min_by aggregation +
+    join back, never a window sort
+    (provenance_augmentation.py:264-302, first-pick at :285-289)."""
+    from gemproc2caom2_spark.operators.lineage import propagate_first_member
+
+    d = load(spark, sf_dir, "documents")
+    out = propagate_first_member(
+        d, group_col="source", order_col="doc_id", attr_cols=["lang"]
+    )
+    return out.select("doc_id", "source", "first_doc_id", "first_lang")
+
+
+@register(
+    "v11_conditional_overwrite",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) > 300 THEN 'derived' ELSE 'simple' END AS obs_class,
+           CASE WHEN length(text) > 300 THEN 'composite' ELSE 'exposure' END AS algorithm
+    FROM documents
+    """,
+)
+def v11_conditional_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V11: conditional overwrite by record class — the
+    reset-algorithm-for-SimpleObservation rule (main_app.py:278-281):
+    classify, then overwrite a derived attribute for one class only."""
+    d = load(spark, sf_dir, "documents")
+    obs_class = F.when(F.length("text") > 300, "derived").otherwise("simple")
+    d = d.select("doc_id", obs_class.alias("obs_class"), F.lit("composite").alias("algorithm"))
+    # the overwrite: simple observations get their algorithm reset
+    return d.withColumn(
+        "algorithm",
+        F.when(F.col("obs_class") == "simple", F.lit("exposure")).otherwise(
+            F.col("algorithm")
+        ),
+    )
+
+
+@register(
+    "a7_audit_totals",
+    """
+    SELECT 'probe' AS stage,
+           count(*)::BIGINT AS n_in,
+           sum(CASE WHEN length(text) >= 120 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN length(text) >= 120 THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+    FROM documents
+    """,
+)
+def a7_audit_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the per-partition execution-metrics operator
+    (observe_execution analog, config.yml:53-56) — mapInPandas rows
+    rolled up to totals, which ARE SQL-checkable: partition counts must
+    sum to the table-level truth regardless of partitioning."""
+    from gemproc2caom2_spark.operators.audit import partition_metrics
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "keep", F.length("text") >= 120
+    )
+    m = partition_metrics(d, run_id="probe", stage="probe")
+    return m.groupBy("stage").agg(
+        F.sum("n_in").alias("n_in"),
+        F.sum("n_kept").alias("n_kept"),
+        F.sum("n_dropped").alias("n_dropped"),
+    )
