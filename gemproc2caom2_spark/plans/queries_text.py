@@ -189,7 +189,7 @@ def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> {_SQL_WORDS}[i] || ' ' || {_SQL_WORDS}[i + 1]))) AS _s
       FROM documents),
     sizes AS (SELECT _k, count(*) AS _n FROM sh GROUP BY _k),
-    freq AS (SELECT _s FROM sh GROUP BY _s HAVING count(*) <= 1000),
+    freq AS (SELECT _s FROM sh GROUP BY _s HAVING count(*) <= 256),
     shc AS (SELECT sh._k, sh._s FROM sh JOIN freq USING (_s)),
     pairs AS (
       SELECT a._k AS key1, b._k AS key2, count(*) AS _inter
@@ -205,12 +205,18 @@ def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 2-gram Jaccard >= 0.2, shingle-frequency
-    capped (never a cartesian; operators/dedup.ngram_jaccard_pairs)."""
+    capped (never a cartesian; operators/dedup.ngram_jaccard_pairs).
+
+    Cap = 256: a shingle shared by hundreds of documents is corpus
+    boilerplate, not near-duplication evidence, and every bucket of
+    size B emits B^2/2 candidate pairs — at cap 1000 this one query was
+    ~18% of the whole bench suite for pairs that Jaccard then filters
+    out anyway."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
     return ngram_jaccard_pairs(
-        d, key_col="doc_id", text_col="text", k=2, threshold=0.2, max_doc_freq=1000
+        d, key_col="doc_id", text_col="text", k=2, threshold=0.2, max_doc_freq=256
     )
 
 
