@@ -49,6 +49,8 @@ HEADLINE = [
     "sim1_cosine_topk",
     "tx2_quality_metrics",
     "tx5_scrub",
+    "j5_lineage_fold",
+    "cur3_flagship_oracle",
     "cur1_flagship_pipeline",
 ]
 
