@@ -207,6 +207,15 @@ def run_incremental(
         _join(run_dir, "audit_rollup")
     )
 
+    # preview/thumbnail side-output per kept doc (K3: the derived
+    # jpg-artifact pair, preview_augmentation.py:88-133) — committed in
+    # the same snapshot as results
+    from gemproc2caom2_spark.operators.preview import preview_rows
+
+    preview_rows(written).write.mode("overwrite").parquet(
+        _join(run_dir, "preview")
+    )
+
     n = written.count()
     # atomic commit marker: the create is the snapshot boundary
     _fs_touch(spark, _join(run_dir, _MARKER))

@@ -630,3 +630,42 @@ def cur1_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "lang_pred", "keep", "drop_reason", "perplexity",
         F.col("quality").getField("doc_len").alias("doc_len"),
     )
+
+
+# ===========================================================================
+# preview / thumbnail side-output (K3)
+# ===========================================================================
+
+def _excerpt_sql(limit: int) -> str:
+    head = f"substring(text, 1, {limit})"
+    rev = f"position(' ' IN reverse({head}))"
+    return (
+        f"CASE WHEN length(text) <= {limit} THEN text "
+        f"WHEN {rev} > 0 THEN substring({head}, 1, length({head}) - {rev}) "
+        f"ELSE {head} END"
+    )
+
+
+@register(
+    "k3_preview_sideoutput",
+    f"""
+    SELECT doc_id,
+           {_excerpt_sql(280)} AS preview,
+           {_excerpt_sql(64)} AS thumbnail,
+           length(text)::BIGINT AS n_chars
+    FROM documents WHERE length(text) >= 120
+    """,
+)
+def k3_preview_sideoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: preview + thumbnail derived artifacts per keepable doc (the
+    jpg preview/thumb pair, preview_augmentation.py:88-133 /
+    builder.py:100-106) — word-boundary excerpts as a side table."""
+    from gemproc2caom2_spark.operators.preview import preview_excerpt
+
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= 120)
+    return d.select(
+        "doc_id",
+        preview_excerpt("text", 280).alias("preview"),
+        preview_excerpt("text", 64).alias("thumbnail"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -58,6 +58,18 @@ def test_resume_crash_retry(spark, tmp_path):
     rollup = spark.read.parquet(os.path.join(out, "runs", "r1", "audit_rollup"))
     assert rollup.agg(F.sum("n_docs")).collect()[0][0] == 45
 
+    # preview side-output (K3): one row per KEPT doc, word-boundary cut
+    prev = spark.read.parquet(os.path.join(out, "runs", "r1", "preview"))
+    n_kept_r1 = (
+        spark.read.parquet(os.path.join(out, "runs", "r1", "results"))
+        .where("keep")
+        .count()
+    )
+    assert prev.count() == n_kept_r1
+    r = prev.orderBy("url").first()
+    assert len(r.thumbnail) <= 64 and len(r.preview) <= 280
+    assert r.n_chars >= len(r.preview)
+
 
 def test_cross_run_duplicate_dropped(spark, tmp_path):
     """A near-duplicate of a doc committed in an EARLIER run is dropped
