@@ -61,12 +61,23 @@ def mark_exact_duplicates(
     (the boilerplate mega-group) reduces to one row per map task before
     the shuffle; a window would sort the whole group on a single task.
     AQE skew-join splitting covers the join side of the hot key.
+
+    Null text -> null fingerprint; those rows are kept with the flag
+    false (a missing document is not a duplicate of another missing
+    document) via a left join — an inner equi-join would silently drop
+    them, since SQL equality never matches null keys.
     """
     with_fp = df.withColumn("_fp", normalized_fingerprint(text_col))
-    mins = with_fp.groupBy("_fp").agg(F.min(key_col).alias("_min_key"))
+    mins = (
+        with_fp.where(F.col("_fp").isNotNull())
+        .groupBy("_fp")
+        .agg(F.min(key_col).alias("_min_key"))
+    )
     return (
-        with_fp.join(mins, on="_fp")
-        .withColumn(out_col, F.col(key_col) > F.col("_min_key"))
+        with_fp.join(mins, on="_fp", how="left")
+        .withColumn(
+            out_col, F.coalesce(F.col(key_col) > F.col("_min_key"), F.lit(False))
+        )
         .drop("_fp", "_min_key")
     )
 
@@ -189,6 +200,7 @@ def mark_lsh_duplicates(
     out_col: str = "is_duplicate",
     canonical_col: str | None = None,
     canonical_attrs: DataFrame | None = None,
+    resolve_hops: int = 2,
 ) -> DataFrame:
     """Flag docs that share any LSH band bucket with a smaller-keyed doc.
 
@@ -211,6 +223,20 @@ def mark_lsh_duplicates(
     are resolved for the CANONICAL key and carried through the fold-back
     — the join lands on the small flags frame (thin columns), never a
     second join against the fat document frame.
+
+    ``resolve_hops``: the raw per-doc canonical (min key over the doc's
+    own buckets) can itself be a duplicate in a CHAINED cluster (buckets
+    {A,B}, {B,C}: C's raw canonical is B, which is a duplicate of A).
+    Each pointer-jump round rewrites every pointer to its target's
+    pointer on the THIN (key, canon) frame — path length halves per
+    round, so ``resolve_hops`` rounds resolve chains up to 2^hops long.
+    Pointers strictly decrease, so the walk always terminates at a
+    non-duplicate; 2 rounds (chains of 4) cover real LSH chaining, where
+    long chains without shared buckets are vanishingly rare — a full
+    fixed-point is connected components (large-star/small-star), a
+    different operator. The purely declarative rounds stay in one plan:
+    the self-join branches are identical subtrees, so Spark reuses the
+    exchange instead of recomputing.
     """
     other_cols = [c for c in df.columns]
     exploded = (
@@ -231,6 +257,18 @@ def mark_lsh_duplicates(
         .groupBy(key_col)
         .agg(F.min("_bucket_min").alias("_canon_key"))
     )
+    for _ in range(resolve_hops):
+        parent = dup_flags.select(
+            F.col(key_col).alias("_p_key"), F.col("_canon_key").alias("_p_canon")
+        )
+        dup_flags = dup_flags.join(
+            parent,
+            dup_flags["_canon_key"] == parent["_p_key"],
+            "left",
+        ).select(
+            key_col,
+            F.coalesce(F.col("_p_canon"), F.col("_canon_key")).alias("_canon_key"),
+        )
     is_dup = F.col("_canon_key") < F.col(key_col)
     attr_names: list[str] = []
     if canonical_attrs is not None:

@@ -68,19 +68,26 @@ ANALYSIS_CAP = 16384
 LANGID_CAP = 4096
 
 
-def quality_struct(text: Column | str) -> Column:
+def quality_struct(text: Column | str, exact_len: Column | None = None) -> Column:
     """struct<doc_len:long, n_words:long, mean_line_len:double,
     symbol_ratio:double, repeated_line_frac:double, rare_char_ratio:double>
 
     Null text -> null metrics inside the struct (missing-input guard).
     doc_len is exact; all other metrics are over the first ANALYSIS_CAP
-    chars.
+    chars. ``exact_len`` overrides the doc_len field for callers that
+    truncated the text upstream but carried the original length thin
+    (plans/pipeline.py's fat-payload pruning).
     """
     t_full = F.col(text) if isinstance(text, str) else text
     t = F.substring(t_full, 1, ANALYSIS_CAP)
     ls = TX.line_stats(t)
+    doc_len = (
+        exact_len.cast("long")
+        if exact_len is not None
+        else F.length(t_full).cast("long")
+    )
     return F.struct(
-        F.length(t_full).cast("long").alias("doc_len"),
+        doc_len.alias("doc_len"),
         TX.token_count_ws(t).alias("n_words"),
         ls.getField("mean_line_len").alias("mean_line_len"),
         TX.symbol_ratio(t).alias("symbol_ratio"),

@@ -41,10 +41,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gemproc2caom2_spark.operators.audit import drop_reason_rollup, partition_metrics
-from gemproc2caom2_spark.plans.pipeline import curate
+from gemproc2caom2_spark.plans.pipeline import curate, unpersist_curate_cache
 from gemproc2caom2_spark.operators.heuristics import DEFAULT_RULES, RuleConfig
 
 _MARKER = "_COMMITTED"
+_SUPERSEDES = "_SUPERSEDES"
 
 
 # ---------------------------------------------------------------------------
@@ -79,6 +80,23 @@ def _fs_touch(spark: SparkSession, path: str) -> None:
     out.close()
 
 
+def _fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    out.write(bytearray(content.encode("utf-8")))
+    out.close()
+
+
+def _fs_read_lines(spark: SparkSession, path: str) -> list[str]:
+    return [r.value for r in spark.read.text(path).collect() if r.value]
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def _join(*parts: str) -> str:
     return "/".join(p.rstrip("/") for p in parts)
 
@@ -93,12 +111,23 @@ def _runs_root(out_dir: str) -> str:
 
 
 def committed_run_ids(spark: SparkSession, out_dir: str) -> list[str]:
+    """Committed, non-superseded run ids. A committed compaction run
+    carries a ``_SUPERSEDES`` file naming the runs it replaced; those
+    stay invisible even before their directories are garbage-collected,
+    so the supersede set — written BEFORE the compaction's commit marker
+    — is the atomic switch (the Iceberg snapshot-metadata analog)."""
     root = _runs_root(out_dir)
-    return [
+    committed = [
         r
         for r in _fs_listdir(spark, root)
         if _fs_exists(spark, _join(root, r, _MARKER))
     ]
+    superseded: set[str] = set()
+    for r in committed:
+        sup = _join(root, r, _SUPERSEDES)
+        if _fs_exists(spark, sup):
+            superseded.update(_fs_read_lines(spark, sup))
+    return [r for r in committed if r not in superseded]
 
 
 def committed_results(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -117,6 +146,64 @@ def committed_keys(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
     paths = [_join(_runs_root(out_dir), r, "keys") for r in runs]
     return spark.read.parquet(*paths)
+
+
+# ---------------------------------------------------------------------------
+# ledger / snapshot compaction (K5 maintenance)
+# ---------------------------------------------------------------------------
+
+_RUN_TABLES = ("results", "keys", "audit_metrics", "audit_rollup", "preview")
+
+
+def compact_runs(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str | None = None,
+    delete_retired: bool = True,
+) -> tuple[str, int]:
+    """Merge every committed run into ONE compacted snapshot and retire
+    the originals — the ledger-maintenance analog of the reference's
+    todo/success/retry file rollover (tests/test_composable.py:126-135)
+    and of Iceberg's rewrite/snapshot-expiration maintenance.
+
+    Protocol (crash-safe at every boundary):
+    1. write the unioned results/keys/audit/preview tables into a fresh
+       run dir (keys de-duplicated — the anti-join read gets smaller);
+    2. write ``_SUPERSEDES`` listing the merged run ids;
+    3. drop the ``_COMMITTED`` marker — the atomic switch: from here
+       readers see ONE run and the old ones are invisible (step 2's
+       file), whether or not their dirs still exist;
+    4. optionally delete the retired dirs (pure GC; a crash here only
+       leaves dead bytes, never wrong reads).
+
+    Cross-run dedup, resume and committed_results all keep working
+    unchanged on the compacted snapshot, and the run-dir count returns
+    to 1. Returns (new_run_id, n_runs_merged); no-op when fewer than two
+    committed runs exist."""
+    runs = committed_run_ids(spark, out_dir)
+    if len(runs) < 2:
+        return (runs[0] if runs else "", 0)
+    run_id = run_id or ("compact-" + uuid.uuid4().hex[:12])
+    root = _runs_root(out_dir)
+    new_dir = _join(root, run_id)
+    for sub in _RUN_TABLES:
+        paths = [
+            _join(root, r, sub)
+            for r in runs
+            if _fs_exists(spark, _join(root, r, sub))
+        ]
+        if not paths:
+            continue
+        df = spark.read.parquet(*paths)
+        if sub == "keys":
+            df = df.distinct()
+        df.write.mode("overwrite").parquet(_join(new_dir, sub))
+    _fs_write_text(spark, _join(new_dir, _SUPERSEDES), "\n".join(runs) + "\n")
+    _fs_touch(spark, _join(new_dir, _MARKER))
+    if delete_retired:
+        for r in runs:
+            _fs_delete(spark, _join(root, r))
+    return run_id, len(runs)
 
 
 # ---------------------------------------------------------------------------
@@ -219,4 +306,9 @@ def run_incremental(
     n = written.count()
     # atomic commit marker: the create is the snapshot boundary
     _fs_touch(spark, _join(run_dir, _MARKER))
+    # the snapshot is durable: release the dedup-barrier cache so
+    # repeated incremental runs in one session don't accumulate cached
+    # pre-dedup frames (scoped unpersist, not clearCache — the caller's
+    # own caches are none of our business)
+    unpersist_curate_cache(curated)
     return run_id, n

@@ -119,12 +119,35 @@ def curate(
     (plans/checkpoint.py)."""
     run = set(stages)
     dedup = dedup and "dedup" in run
+    persisted: DataFrame | None = None
+    from gemproc2caom2_spark.operators.heuristics import ANALYSIS_CAP
+
     # ---- key/partition stage (builder.py:90-155 analog) ----
+    # Fat-payload pruning AT THE SCAN — the columns are dead weight the
+    # moment they can no longer change any output, and every byte kept
+    # here crosses the collapse shuffle and the salted repartition:
+    #  - `html` is consumed only when `text` is null (extract coalesces
+    #    the stored text first), so rows that carry text never ship
+    #    their raw page bytes;
+    #  - a doc over max_doc_len is a max_length drop whose only
+    #    downstream uses of text are the EXACT doc_len (carried thin in
+    #    `_text_len`) and the ANALYSIS_CAP-prefix metrics — truncate to
+    #    the cap so a 10 MB page crosses the shuffles as 16 KB. Docs at
+    #    or under the limit are untouched (scrub byte-identity holds).
+    #  - the recapture tie-break hash is taken BEFORE truncation, so
+    #    collapse winners are identical with or without the pruning.
     d = df.select(
         url_normalize("url").alias("url"),
         F.col("warc_ts"),
-        F.col("html"),
-        F.col("text"),
+        F.when(F.col("text").isNull(), F.col("html")).alias("html"),
+        F.length("text").cast("long").alias("_text_len"),
+        F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("_tie"),
+        F.when(
+            F.length("text") > rules.max_doc_len,
+            F.substring("text", 1, ANALYSIS_CAP),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
         F.col("lang").alias("lang_claimed"),
     ).withColumn("url_hash", F.xxhash64("url")).withColumn("host", url_host("url"))
 
@@ -136,16 +159,17 @@ def curate(
     # rely on that. groupBy + max_by (partial agg combines map-side;
     # a window over url would sort entire hot groups on one task).
     if "collapse" in run:
-        payload = F.struct("url", "warc_ts", "html", "text", "lang_claimed", "host")
-        order = F.struct(
-            F.col("warc_ts"),
-            F.xxhash64(F.coalesce(F.col("text"), F.lit(""))),
+        payload = F.struct(
+            "url", "warc_ts", "html", "text", "lang_claimed", "host", "_text_len"
         )
+        order = F.struct(F.col("warc_ts"), F.col("_tie"))
         d = (
             d.groupBy("url_hash")
             .agg(F.max_by(payload, order).alias("_r"))
             .select("url_hash", "_r.*")
         )
+    else:
+        d = d.drop("_tie")
 
     # ---- extract stage (header-parse analog; drops `html` right after) ----
     # the UDF input is null-gated on the stored text, so rows that
@@ -160,6 +184,13 @@ def curate(
         ).drop("html", "text")
     else:
         d = d.withColumn("text_extracted", F.col("text")).drop("html", "text")
+    # exact doc length: the pre-truncation stored-text length when the
+    # row arrived with text, else the length of the freshly-extracted
+    # text (which is never truncated)
+    d = d.withColumn(
+        "_doc_len",
+        F.coalesce(F.col("_text_len"), F.length("text_extracted").cast("long")),
+    ).drop("_text_len")
 
     # ---- langid + heuristics (pure Column exprs, codegen'd) ----
     # langid reads the LANGID_CAP prefix: language is decidable from a
@@ -176,10 +207,10 @@ def curate(
         else F.col("lang_claimed"),
     ).withColumn(
         "quality",
-        quality_struct("text_extracted")
+        quality_struct("text_extracted", exact_len=F.col("_doc_len"))
         if "heuristics" in run
         else null_quality_struct(),
-    )
+    ).drop("_doc_len")
 
     # ---- salted repartition: shuffle AND materialization barrier ----
     # Row-local regex stages above run balanced on the input's byte-sized
@@ -262,6 +293,7 @@ def curate(
 
             d = d.persist(StorageLevel.MEMORY_AND_DISK)
             d.count()
+            persisted = d
         # ---- LSH dedup + lineage enrichment (J5 analog): explode
         # bands -> fold back happens inside mark_lsh_duplicates; the
         # canonical doc's url (member-metadata propagation,
@@ -328,4 +360,20 @@ def curate(
         )
         d = d.withColumn("lsh_bands", bands_col)
         out_cols.append("lsh_bands")
-    return d.select(*out_cols)
+    out = d.select(*out_cols)
+    # cache-lifecycle handle: the internal dedup barrier persist outlives
+    # curate() (callers keep reading the plan), so the CALLER that knows
+    # when the consuming action is done must release it — long-lived
+    # sessions running many epochs would otherwise accumulate cached
+    # pre-dedup frames until eviction pressure (plans/checkpoint.py and
+    # streaming/incremental.py call unpersist_curate_cache after commit).
+    out._curate_persisted = persisted  # type: ignore[attr-defined]
+    return out
+
+
+def unpersist_curate_cache(df: DataFrame) -> None:
+    """Release the dedup-barrier cache attached to a curate() result.
+    No-op for frames without one (dedup off / persist_for_dedup=False)."""
+    p = getattr(df, "_curate_persisted", None)
+    if p is not None:
+        p.unpersist()

@@ -526,7 +526,15 @@ def cur2_heuristic_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANALYSIS_CAP / LANGID_CAP prefixes, mirroring heuristics.py
 _T16 = "substring(text, 1, 16384)"
 _T4 = "substring(text, 1, 4096)"
-_PPL_FIXTURE = "/root/repo/tests/fixtures/perplexity_oracle.parquet"
+# repo-relative, not hardcoded: this module lives at
+# <repo>/gemproc2caom2_spark/plans/, the fixtures at <repo>/tests/fixtures/
+import os as _os
+
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+_FIXTURE_DIR = _os.path.join(_REPO_ROOT, "tests", "fixtures")
+_PPL_FIXTURE = _os.path.join(_FIXTURE_DIR, "perplexity_oracle.parquet")
 
 
 @register(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gemproc2caom2_spark.operators.heuristics import DEFAULT_RULES, RuleConfig
-from gemproc2caom2_spark.plans.pipeline import curate
+from gemproc2caom2_spark.plans.pipeline import curate, unpersist_curate_cache
 from gemproc2caom2_spark.sources.datagen import INPUT_SCHEMA
 
 
@@ -73,6 +73,9 @@ def run_available_now(
             persist_for_dedup=True,
         )
         out.write.mode("overwrite").parquet(f"{output_dir}/epoch_id={epoch_id}")
+        # per-epoch cache release: a long stream must not accumulate one
+        # persisted pre-dedup frame per micro-batch
+        unpersist_curate_cache(out)
 
     q = (
         src.writeStream.foreachBatch(_process)

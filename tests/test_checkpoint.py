@@ -14,6 +14,7 @@ from gemproc2caom2_spark.plans.checkpoint import (
     committed_keys,
     committed_results,
     committed_run_ids,
+    compact_runs,
     run_incremental,
 )
 from gemproc2caom2_spark.sources.datagen import generate_corpus
@@ -109,6 +110,53 @@ def test_cross_run_duplicate_dropped(spark, tmp_path):
     # anti-joined away), so their a-partners are absent and the pair
     # cannot be caught within the batch
     assert all(r.drop_reason != "duplicate" for r in dup2)
+
+
+def test_compaction(spark, tmp_path):
+    """K5 maintenance: N committed runs merge into ONE snapshot; resume,
+    cross-run dedup and the results view keep working unchanged, and the
+    run-dir count is bounded again."""
+    out = str(tmp_path / "o")
+    corpus = generate_corpus(spark, 60, with_category=True)
+    a = corpus.where(F.col("category") != "near_dup_b").drop("category")
+    b_urls = corpus.where(F.col("category") == "near_dup_b").select("url")
+
+    run_incremental(spark, a.limit(20), out, run_id="r1", num_partitions=8)
+    run_incremental(spark, a.limit(40), out, run_id="r2", num_partitions=8)
+    run_incremental(spark, a, out, run_id="r3", num_partitions=8)
+    pre_results = committed_results(spark, out).count()
+    pre_keys = committed_keys(spark, out).select("url_hash").distinct().count()
+
+    new_id, merged = compact_runs(spark, out)
+    assert merged == 3
+    assert committed_run_ids(spark, out) == [new_id]
+    assert sorted(os.listdir(os.path.join(out, "runs"))) == [new_id]
+    assert committed_results(spark, out).count() == pre_results
+    keys = committed_keys(spark, out)
+    assert keys.select("url_hash").distinct().count() == pre_keys
+
+    # resume against the compacted ledger: nothing to redo
+    _, n = run_incremental(spark, a, out, run_id="r4")
+    assert n == 0
+
+    # cross-run dedup still reads the compacted bucket set: near-dup
+    # partners of docs committed BEFORE compaction are still dropped
+    run_incremental(
+        spark, corpus.drop("category"), out, run_id="r5", num_partitions=8
+    )
+    dup_rows = (
+        committed_results(spark, out)
+        .join(b_urls, on="url", how="left_semi")
+        .collect()
+    )
+    assert dup_rows and all(r.drop_reason == "duplicate" for r in dup_rows)
+
+    # a second compaction supersedes the first compact run plus the
+    # empty r4 and r5 snapshots — compactions chain
+    new_id2, merged2 = compact_runs(spark, out)
+    assert merged2 == 3
+    assert committed_run_ids(spark, out) == [new_id2]
+    assert committed_results(spark, out).count() == pre_results + len(dup_rows)
 
 
 def test_empty_input(spark, tmp_path):

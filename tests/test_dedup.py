@@ -46,9 +46,11 @@ def test_minhash_udf_matches_column_expr(spark, docs):
 
 
 def test_exact_dedup(spark, docs):
-    out = mark_exact_duplicates(docs.where("text is not null"), "doc_id", "text")
+    # null-text row 5 must survive with the flag false (null fingerprint
+    # never equi-matches; the operator uses a null-safe left join)
+    out = mark_exact_duplicates(docs, "doc_id", "text")
     flags = {r.doc_id: r.is_exact_dup for r in out.collect()}
-    assert flags == {1: False, 2: True, 3: False, 4: False, 6: False}
+    assert flags == {1: False, 2: True, 3: False, 4: False, 5: False, 6: False}
 
 
 def test_lsh_marks_near_dups(spark, docs):
@@ -60,6 +62,26 @@ def test_lsh_marks_near_dups(spark, docs):
     assert flags[2] is True          # exact dup
     assert flags[3] is True          # near dup (1-word change)
     assert flags[4] is False and flags[5] is False and flags[6] is False
+
+
+def test_lsh_chained_cluster_resolves_to_root(spark):
+    """Chained cluster {A,B} + {B,C} with no A-C bucket: C's raw
+    canonical is B (itself a duplicate); pointer-jumping must resolve
+    C's lineage to A, the cluster root."""
+    rows = [
+        (1, [1, 1, 9, 9]),   # shares band 0 with 2 only
+        (2, [1, 1, 5, 5]),   # bridges: band 0 with 1, band 1 with 3
+        (3, [7, 7, 5, 5]),   # shares band 1 with 2 only
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, minhash_sig array<bigint>")
+    out = mark_lsh_duplicates(
+        d, key_col="doc_id", sig_col="minhash_sig", bands=2, rows_per_band=2,
+        canonical_col="canon",
+    ).collect()
+    got = {r.doc_id: (r.is_duplicate, r.canon) for r in out}
+    assert got[1] == (False, None)
+    assert got[2] == (True, 1)
+    assert got[3] == (True, 1), "chained canonical must resolve past B"
 
 
 def test_simhash_null_and_identity(spark, docs):
