@@ -75,25 +75,41 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket_expr(vec: Column, bits: int = 8, table: int = 0) -> Column:
-    """Deterministic random-hyperplane LSH bucket id for one hash table.
+def plane_weights(bits: int, table: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weight matrix (bits x dim) for one
+    hash table, derived from md5 parity of "table:bit:dim" — a pure
+    build-time constant, identical in every engine that re-derives it
+    (the Spark plan inlines it as literals; the SQL oracle renders the
+    same lists). No stored model, no per-row hashing at runtime."""
+    import hashlib
 
-    Hyperplane h_i has pseudo-random ±1 weights per dimension derived
-    from xxhash64(table, i, dim_index) — no stored model, same plane
-    set on every executor by construction. Bit i = sign(<v, h_i>).
-    """
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{table}:{i}:{j}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
+def hyperplane_bucket_expr(
+    vec: Column, bits: int = 8, table: int = 0, dim: int = 64
+) -> Column:
+    """Deterministic random-hyperplane LSH bucket id for one hash table:
+    bit i = sign(<v, h_i>) with the ±1 planes from ``plane_weights``
+    baked into the plan as literal arrays — the dot product is a pure
+    multiply-add fold (codegen), zero hash calls per row."""
+    ws = plane_weights(bits, table, dim)
+
     def plane_dot(i: int) -> Column:
-        # zip value with its index, weight = +-1 from hash parity
-        idx = F.transform(vec, lambda _, j: j)
-        signed = F.zip_with(
-            vec,
-            idx,
-            lambda x, j: F.when(
-                F.pmod(F.xxhash64(F.lit(table), F.lit(i), j), F.lit(2)) == 0,
-                x.cast("double"),
-            ).otherwise(-x.cast("double")),
+        warr = F.array(*[F.lit(w) for w in ws[i]])
+        return F.aggregate(
+            F.zip_with(vec, warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        return F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
 
     bucket = F.lit(0).cast("bigint")
     for i in range(bits):
@@ -110,6 +126,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-table LSH ANN top-k: a candidate is scored iff it shares a
     hyperplane bucket with the query in ANY of ``tables`` independent
@@ -119,12 +136,19 @@ def lsh_ann_topk(
     Cost vs cross join: |C| * tables rows exploded, each query joins
     ~|C| * tables / 2^bits candidates — this is the 100-TB path; the
     exactness baseline is brute_force_topk.
+
+    ``dim`` (embedding dimensionality) sizes the literal plane-weight
+    arrays; pass it explicitly at scale — when omitted, it is inferred
+    with one tiny driver-side first() on the corpus.
     """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
     # array of per-table buckets, exploded with the table index baked in
     def buckets(col: Column) -> Column:
         return F.array(
             *[
-                hyperplane_bucket_expr(col, bits, t) + F.lit(t << 60)
+                hyperplane_bucket_expr(col, bits, t, dim) + F.lit(t << 60)
                 for t in range(tables)
             ]
         )

@@ -30,6 +30,18 @@ _SQL_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 _M31 = (1 << 31) - 1
 
+# oracle fixture paths — repo-relative, not hardcoded: this module lives
+# at <repo>/gemproc2caom2_spark/plans/, fixtures at <repo>/tests/fixtures/
+import os as _os
+
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+_FIXTURE_DIR = _os.path.join(_REPO_ROOT, "tests", "fixtures")
+_PPL_FIXTURE = _os.path.join(_FIXTURE_DIR, "perplexity_oracle.parquet")
+_MM_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_features.parquet")
+_DUP_FIXTURE = _os.path.join(_FIXTURE_DIR, "lsh_duplicates.parquet")
+
 
 def _perm_ab(i: int) -> tuple[int, int]:
     """Same universal-hash constants as functions.hashing.minhash_perm."""
@@ -253,11 +265,62 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@register("sim2_ann_lsh", None)  # xxhash64 buckets: not SQL-replicable
+def _ann_oracle_sql(bits: int = 4, tables: int = 8, dim: int = 64,
+                    k: int = 5) -> str:
+    """DuckDB rendering of the full hyperplane-LSH ANN: the ±1 plane
+    weights are the SAME build-time constants the Spark plan inlines
+    (operators.similarity.plane_weights), so bucket ids — and therefore
+    the candidate sets — agree exactly across engines."""
+    from gemproc2caom2_spark.operators.similarity import plane_weights
+
+    def bucket_list() -> str:
+        outs = []
+        for t in range(tables):
+            ws = plane_weights(bits, t, dim)
+            terms = []
+            for i in range(bits):
+                arr = "[" + ",".join(
+                    "1.0" if w > 0 else "-1.0" for w in ws[i]
+                ) + "]"
+                dot = (
+                    f"list_sum(list_transform(range(1, {dim + 1}), "
+                    f"j -> e.embedding[j]::DOUBLE * ({arr})[j]))"
+                )
+                terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+            outs.append("(" + " + ".join(terms) + f" + {t << 60})")
+        return "[" + ", ".join(outs) + "]"
+
+    b = bucket_list()
+    return f"""
+    WITH cb AS (
+      SELECT e.vec_id, unnest({b}) AS bucket FROM embeddings e),
+    qb AS (
+      SELECT e.vec_id AS query_id, unnest({b}) AS bucket
+      FROM embeddings e WHERE e.vec_id IN (0, 1, 2)),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id
+      FROM cb JOIN qb USING (bucket) WHERE cb.vec_id <> qb.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round({_DOT} / ({_NQ} * {_NC}), 6) AS cosine
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("sim2_ann_lsh", _ann_oracle_sql())
 def sim2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path): hyperplane sign buckets, equi-join
-    instead of cross-join. Rows-only driver check; recall vs sim1 is
-    asserted in tests/test_similarity.py."""
+    instead of cross-join. Fully oracle-checked: the plane weights are
+    build-time literals shared with the SQL rendering. Recall vs sim1 is
+    additionally asserted in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id").isin(0, 1, 2))
     out = lsh_ann_topk(emb, q, k=5, bits=4, id_col="vec_id", vec_col="embedding")
@@ -424,11 +487,28 @@ def mm1_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm2_media_features", None)  # mapInPandas decode stub: rows-only
+@register(
+    "mm2_media_features",
+    # fixture oracle (tests/gen_fixtures.py): the deterministic fake
+    # decode pinned per distinct text, keyed by md5(text); null payloads
+    # decode to (0, 0, zeros) on the Spark side -> coalesce here
+    """
+    SELECT d.doc_id,
+           coalesce(octet_length(encode(d.text)), 0)::BIGINT AS n_bytes,
+           'text/html' AS media_type,
+           coalesce(fx.width, 0) AS width,
+           coalesce(fx.height, 0) AS height,
+           coalesce(fx.feat0, 0.0) AS feat0
+    FROM documents d
+    LEFT JOIN read_parquet('{mm_fixture}') fx ON md5(d.text) = fx.text_md5
+    """.replace("{mm_fixture}", _MM_FIXTURE),
+)
 def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full media decode plumbing: binary payload -> mapInPandas ->
     typed feature rows (decoder stubbed deterministically; schema,
-    batching and partitioning are the real thing)."""
+    batching and partitioning are the real thing). feat0 is cast to
+    double BEFORE rounding so the float32 feature compares exactly
+    against the fixture's double (float->double is exact)."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -437,7 +517,7 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = decode_media_features(d)
     return out.select(
         "doc_id", "n_bytes", "media_type", "width", "height",
-        F.round(F.element_at("feature", 1), 6).alias("feat0"),
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
     )
 
 
@@ -526,22 +606,13 @@ def cur2_heuristic_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANALYSIS_CAP / LANGID_CAP prefixes, mirroring heuristics.py
 _T16 = "substring(text, 1, 16384)"
 _T4 = "substring(text, 1, 4096)"
-# repo-relative, not hardcoded: this module lives at
-# <repo>/gemproc2caom2_spark/plans/, the fixtures at <repo>/tests/fixtures/
-import os as _os
 
-_REPO_ROOT = _os.path.dirname(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-)
-_FIXTURE_DIR = _os.path.join(_REPO_ROOT, "tests", "fixtures")
-_PPL_FIXTURE = _os.path.join(_FIXTURE_DIR, "perplexity_oracle.parquet")
-
-
-@register(
-    "cur3_flagship_oracle",
-    f"""
+# the full cheap-gate + perplexity verdict CTE chain, shared by the cur3
+# and cur1 oracles (m -> c -> v -> p; `source` rides along so cur1 can
+# rebuild the synthesized url)
+_VERDICT_CTES = f"""
     WITH m AS (
-      SELECT doc_id, text,
+      SELECT doc_id, text, source,
              length(text) AS doc_len,
              CASE WHEN trim({_T16}) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim({_T16}), '\\s+')) END AS n_words,
@@ -578,6 +649,13 @@ _PPL_FIXTURE = _os.path.join(_FIXTURE_DIR, "perplexity_oracle.parquet")
              CASE WHEN v.cheap IS NULL THEN fx.ppl_r6 END AS perplexity
       FROM v LEFT JOIN read_parquet('{_PPL_FIXTURE}') fx
         ON md5(v.text) = fx.text_md5)
+"""
+
+
+@register(
+    "cur3_flagship_oracle",
+    _VERDICT_CTES
+    + f"""
     SELECT doc_id, lang_pred,
            coalesce(cheap, CASE WHEN perplexity > 60.0 THEN 'perplexity' END)
              AS drop_reason,
@@ -617,12 +695,42 @@ def cur3_flagship_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cur1_flagship_pipeline", None)  # Arrow perplexity + LSH: rows-only
+@register(
+    "cur1_flagship_pipeline",
+    _VERDICT_CTES
+    + f"""
+    , d AS (
+      SELECT p.*, (dd.doc_id IS NOT NULL) AS is_dup
+      FROM p LEFT JOIN read_parquet('{_DUP_FIXTURE}') dd
+        ON dd.doc_id = p.doc_id
+       AND dd.corpus_md5 = (SELECT md5(string_agg(md5(coalesce(text, '')),
+                                                  '' ORDER BY doc_id))
+                            FROM documents))
+    SELECT 'https://' || lower(source) || '.example/doc/' || doc_id AS url,
+           lang_pred,
+           (coalesce(cheap,
+                     CASE WHEN perplexity > 60.0 THEN 'perplexity' END,
+                     CASE WHEN is_dup THEN 'duplicate' END) IS NULL) AS keep,
+           coalesce(cheap,
+                    CASE WHEN perplexity > 60.0 THEN 'perplexity' END,
+                    CASE WHEN is_dup THEN 'duplicate' END) AS drop_reason,
+           perplexity,
+           length(text)::BIGINT AS doc_len
+    FROM d
+    """,
+)
 def cur1_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation DAG run over the documents table mapped into
-    the web-page input schema (url synthesized from doc_id, html from
-    text bytes). Golden-fixture tests pin its semantics; the driver
-    records a rows-only check here."""
+    """The full curation DAG — cheap gates + Arrow perplexity + MinHash
+    LSH dedup — over the documents table mapped into the web-page input
+    schema (url synthesized from doc_id, html from text bytes).
+
+    The oracle runs the shared SQL verdict chain and joins TWO pinned
+    fixtures (tests/gen_fixtures.py): the scalar-perplexity table keyed
+    by md5(text), and the LSH duplicate-verdict golden keyed by
+    (corpus fingerprint, doc_id) — LSH over xxhash64 signatures is not
+    SQL-derivable, so the duplicate set is a regression pin of our own
+    construction, the reference's golden-XML pattern
+    (tests/test_main_app.py:171-186)."""
     from gemproc2caom2_spark.plans.pipeline import curate
 
     d = load(spark, sf_dir, "documents").select(
