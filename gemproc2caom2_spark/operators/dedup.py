@@ -350,7 +350,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int = 1000,
+    max_doc_freq: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-k-gram Jaccard similarity.
 
@@ -360,7 +360,11 @@ def ngram_jaccard_pairs(
        8-byte longs cross the shuffle, never the shingle strings) with
        the doc's shingle count carried inline, then explode;
     2. groupBy shingle hash into buckets; drop buckets larger than
-       ``max_doc_freq`` (stop-shingle cap: the never-a-cartesian rule);
+       ``max_doc_freq`` (stop-shingle cap: the never-a-cartesian rule —
+       a shingle shared by hundreds of docs is corpus boilerplate, not
+       near-dup evidence). The cap also bounds step 3's in-row pair
+       array at max_doc_freq^2/2 structs (~0.5 MB at the 256 default;
+       1000 would make a single 8 MB row);
     3. emit ordered (key1 < key2) pairs per bucket JVM-side from the
        sorted member array — bucket size is capped, so the per-row pair
        array is bounded by max_doc_freq^2/2;

@@ -59,7 +59,9 @@ from gemproc2caom2_spark.operators.heuristics import (
 
 # verdict output columns (the flat CAOM2-Observation analog, SURVEY §1.1;
 # `lineage` is the PROVENANCE-BINTABLE analog: array<struct<url,rel>> —
-# today it carries the canonical doc a duplicate was folded into)
+# rel='duplicate_of' points a dropped duplicate at its canonical doc,
+# rel='prior_capture' records each crawl capture the recapture collapse
+# discarded (provenance_augmentation.py:184-199's inputs rows))
 OUTPUT_COLUMNS = [
     "url", "url_hash", "host", "warc_ts", "lang_claimed", "lang_pred",
     "quality", "perplexity", "scrubbed_text", "keep", "drop_reason",
@@ -97,6 +99,29 @@ def cheap_drop_reason(text: Column, q: Column, lang_pred: Column,
     for name, cond in reversed(checks):
         expr = F.when(F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(expr)
     return expr
+
+
+def _prior_capture_entries() -> Column:
+    """Lineage entries for captures discarded by the recapture collapse:
+    {url: '<url>@<iso-ts>', rel: 'prior_capture'} per prior capture —
+    the provenance.inputs analog for the web crawl's capture history."""
+    return F.filter(
+        F.transform(
+            F.coalesce(
+                F.col("_priors"),
+                F.array().cast("array<struct<warc_ts:timestamp,_tie:bigint>>"),
+            ),
+            lambda p: F.struct(
+                F.concat(
+                    F.col("url"),
+                    F.lit("@"),
+                    F.date_format(p["warc_ts"], "yyyy-MM-dd'T'HH:mm:ss"),
+                ).alias("url"),
+                F.lit("prior_capture").alias("rel"),
+            ),
+        ),
+        lambda x: x["url"].isNotNull(),
+    )
 
 
 def curate(
@@ -163,13 +188,31 @@ def curate(
             "url", "warc_ts", "html", "text", "lang_claimed", "host", "_text_len"
         )
         order = F.struct(F.col("warc_ts"), F.col("_tie"))
+        # _priors: the discarded captures' order keys (sorted; the last
+        # element is the winner, so slice it off) — the PROVENANCE-row
+        # analog: a collapsed recapture is this doc's provenance, and it
+        # surfaces in the lineage column as rel='prior_capture'
+        # (provenance_augmentation.py:184-199). Thin structs only —
+        # bounded by captures-per-url, never the payload.
         d = (
             d.groupBy("url_hash")
-            .agg(F.max_by(payload, order).alias("_r"))
-            .select("url_hash", "_r.*")
+            .agg(
+                F.max_by(payload, order).alias("_r"),
+                F.sort_array(F.collect_list(order)).alias("_caps"),
+            )
+            .select(
+                "url_hash",
+                "_r.*",
+                F.slice(
+                    F.col("_caps"), 1, F.greatest(F.size("_caps") - 1, F.lit(0))
+                ).alias("_priors"),
+            )
         )
     else:
-        d = d.drop("_tie")
+        d = d.drop("_tie").withColumn(
+            "_priors",
+            F.array().cast("array<struct<warc_ts:timestamp,_tie:bigint>>"),
+        )
 
     # ---- extract stage (header-parse analog; drops `html` right after) ----
     # the UDF input is null-gated on the stored text, so rows that
@@ -311,21 +354,23 @@ def curate(
         )
         d = d.withColumn(
             "lineage",
-            F.filter(
-                F.array(
-                    F.struct(
-                        F.col("_canon_url").alias("url"),
-                        F.lit("duplicate_of").alias("rel"),
-                    )
+            F.concat(
+                _prior_capture_entries(),
+                F.filter(
+                    F.array(
+                        F.struct(
+                            F.col("_canon_url").alias("url"),
+                            F.lit("duplicate_of").alias("rel"),
+                        )
+                    ),
+                    lambda x: x["url"].isNotNull(),
                 ),
-                lambda x: x["url"].isNotNull(),
             ),
-        ).drop("_canon_url")
+        ).drop("_canon_url", "_priors")
     else:
         d = d.withColumn("is_duplicate", F.lit(False)).withColumn(
-            "lineage",
-            F.array().cast("array<struct<url:string,rel:string>>"),
-        )
+            "lineage", _prior_capture_entries()
+        ).drop("_priors")
 
     # ---- verdict ----
     # _cheap_reason IS the text-derived prefix of DROP_PRECEDENCE

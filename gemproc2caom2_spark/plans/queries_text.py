@@ -748,6 +748,67 @@ def cur1_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "v9_rejected_verdict",
+    f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             (doc_id % 10 = 0) AS rejected,
+             length(text) AS doc_len,
+             CASE WHEN trim({_T16}) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim({_T16}), '\\s+')) END AS n_words,
+             length(regexp_extract_all({_T16}, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
+               / nullif(length({_T16}), 0) AS symbol_ratio,
+             length(regexp_extract_all(lower({_T16}), '[^a-z \\.,;:!?''\\n-]'))
+               / nullif(length({_T16}), 0) AS rare_char_ratio,
+             list_filter(list_transform(string_split({_T16}, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines,
+             {langid_sql(_T4)} AS lang_pred
+      FROM documents),
+    v AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR doc_len = 0 THEN 'empty'
+                  WHEN rejected THEN 'rejected'
+                  WHEN doc_len < 120 THEN 'min_length'
+                  WHEN doc_len > 200000 THEN 'max_length'
+                  WHEN n_words < 20 THEN 'min_words'
+                  WHEN lower({_T16}) LIKE '%lorem ipsum%'
+                       OR lower({_T16}) LIKE '%under construction%' THEN 'placeholder'
+                  WHEN lang_pred <> 'en' THEN 'langid'
+                  WHEN symbol_ratio > 0.10 THEN 'symbol_ratio'
+                  WHEN rare_char_ratio > 0.25 THEN 'rare_chars'
+                  WHEN CASE WHEN len(lines) > 0
+                       THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                       END > 0.30 THEN 'repeated_lines'
+                  ELSE NULL END AS drop_reason
+      FROM m)
+    SELECT doc_id, drop_reason, (drop_reason IS NULL) AS keep FROM v
+    """,
+)
+def v9_rejected_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9: the validity/rejected slot of the verdict precedence chain
+    (operators/verdict.DROP_PRECEDENCE position 2) actually firing — a
+    known-bad set (the rejected.yml analog, config.yml:58-62; here a
+    deterministic doc_id predicate standing in for the broadcast
+    rejected list) flows through the REAL with_verdict chain to
+    drop_reason='rejected', outranked only by 'empty'. Resume-time
+    suppression of rejected rows is pinned by tests/test_checkpoint.py
+    (ST4)."""
+    from gemproc2caom2_spark.functions.langid import langid_expr
+    from gemproc2caom2_spark.operators.verdict import with_verdict
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("text_extracted"),
+        quality_struct("text").alias("quality"),
+        langid_expr(F.substring("text", 1, 4096)).alias("lang_pred"),
+        F.lit(None).cast("double").alias("perplexity"),
+        (F.col("doc_id") % 10 == 0).alias("rejected"),
+    )
+    out = with_verdict(d, rejected_col="rejected")
+    return out.select("doc_id", "drop_reason", "keep")
+
+
 # ===========================================================================
 # preview / thumbnail side-output (K3)
 # ===========================================================================

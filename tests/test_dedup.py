@@ -96,6 +96,24 @@ def test_simhash_null_and_identity(spark, docs):
     assert ham <= 12, ham
 
 
+def test_jaccard_hot_shingle_capped(spark):
+    """A shingle shared by more docs than max_doc_freq is dropped as
+    boilerplate BEFORE pair emission — peak per-row pair-array size is
+    bounded by the cap, never by the hot shingle's bucket."""
+    hot = "the end of every page says this exact boilerplate line"
+    rows = [(i, f"unique words number{i} item{i} " + hot) for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the bucket size: the only shared shingles are the hot
+    # boilerplate ones, so NO pairs survive
+    none = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1,
+                               max_doc_freq=8).collect()
+    assert none == []
+    # cap above the bucket size: the 12 docs pair up via those shingles
+    some = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.1,
+                               max_doc_freq=64).collect()
+    assert len(some) == 12 * 11 / 2
+
+
 def test_jaccard_pairs(spark, docs):
     pairs = ngram_jaccard_pairs(
         docs.where("text is not null"), "doc_id", "text", k=2, threshold=0.4

@@ -67,6 +67,17 @@ def test_recapture_collapse(spark):
             assert "RECAPTURED" in r.scrubbed_text, url
     assert recaptured, "no recaptured row surfaced the later text"
 
+    # provenance: every collapsed url carries ONE prior_capture lineage
+    # entry pointing at the discarded capture ('<url>@<iso-ts>'), and
+    # un-recaptured urls carry none
+    for url in originals:
+        entries = [e for e in by_url[url].lineage if e.rel == "prior_capture"]
+        assert len(entries) == 1, (url, by_url[url].lineage)
+        assert entries[0].url.startswith(url + "@2025-"), entries[0].url
+    for r in out:
+        if r.url not in originals:
+            assert all(e.rel != "prior_capture" for e in r.lineage), r.url
+
     # collapse disabled: both captures flow through
     out2 = curate(
         df.unionByName(recap),
