@@ -104,6 +104,20 @@ def scale_level(cores: int, reps: int) -> None:
         master=f"local[{cores}]",
         shuffle_partitions=parts,
         driver_memory=os.environ.get("SPARK_GRAFT_MEM", "32g"),
+        extra_conf={
+            # IDENTICAL physical plan at both levels: AQE's runtime
+            # re-planning both adds a per-stage driver pause (measured
+            # ~25% of the high level's wall at this corpus size) and may
+            # pick DIFFERENT plans per level, confounding the N-vs-4N
+            # comparison. The production session keeps AQE on; the scale
+            # phase pins the plan (fixed partition count, no runtime
+            # re-opt) exactly like a tuned recurring job would.
+            "spark.sql.adaptive.enabled": "false",
+            # file splits sized so the scan stage has more tasks than
+            # the high level has cores (web-text parquet compresses
+            # 10-20x, so byte-sized splits are CPU-enormous)
+            "spark.sql.files.maxPartitionBytes": "16m",
+        },
     )
     df = spark.read.parquet(CORPUS_PATH)
     n = df.count()
@@ -169,9 +183,21 @@ def run_scaling() -> dict:
     target = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
 
     def invoke(cores: int) -> dict:
+        # CPU-pin the whole level process tree to exactly `cores` CPUs.
+        # Unpinned local[N] leaks extra CPU to the level: pandas-UDF
+        # python workers are child PROCESSES outside the N task slots,
+        # and JVM GC/netty/codegen pools size to the machine — measured
+        # ~40% extra throughput at local[2] from cores the level doesn't
+        # own, which silently deflates the efficiency ratio. Pinning
+        # makes each level a faithful N-core executor container.
+        import shutil
+
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-level",
+               str(cores), str(reps)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale-level",
-             str(cores), str(reps)],
+            cmd,
             capture_output=True, text=True, env=os.environ.copy(),
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )

@@ -117,6 +117,63 @@ def hyperplane_bucket_expr(
     return bucket
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup path:
+    two docs are candidate near-dups iff they share a hyperplane bucket
+    in ANY table (never a corpus cartesian), then the exact cosine
+    filters at ``threshold``.
+
+    Plan shape: explode per-table buckets (ids only — |C| * tables thin
+    rows), self-equi-join on the bucket key with id1 < id2, distinct the
+    id pairs, then TWO key joins back to the corpus for the vectors and
+    one exact cosine per surviving candidate. Candidate count is bounded
+    by bucket occupancy (|C|^2 * tables / 2^bits in the uniform case) —
+    raise ``bits`` as the corpus grows to keep buckets small; recall per
+    true pair is 1-(1-(1-θ/π)^bits)^tables. Returns (id1, id2, cosine).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def buckets(col: Column) -> Column:
+        return F.array(
+            *[
+                hyperplane_bucket_expr(col, bits, t, dim) + F.lit(t << 60)
+                for t in range(tables)
+            ]
+        )
+
+    cb = corpus.select(
+        F.col(id_col), F.explode(buckets(F.col(vec_col))).alias("_bucket")
+    )
+    cand = (
+        cb.select(F.col(id_col).alias("id1"), "_bucket")
+        .join(cb.select(F.col(id_col).alias("id2"), "_bucket"), on="_bucket")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    e1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    e2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    scored = (
+        cand.join(e1, on="id1")
+        .join(e2, on="id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 6).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

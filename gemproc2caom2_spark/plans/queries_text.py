@@ -315,6 +315,55 @@ def _ann_oracle_sql(bits: int = 4, tables: int = 8, dim: int = 64,
     """
 
 
+def _near_dup_oracle_sql(threshold: float = 0.4, bits: int = 4,
+                         tables: int = 8, dim: int = 64) -> str:
+    """DuckDB rendering of embedding_near_dup_pairs (same literal plane
+    weights => identical candidate sets => exact parity)."""
+    from gemproc2caom2_spark.operators.similarity import plane_weights
+
+    outs = []
+    for t in range(tables):
+        ws = plane_weights(bits, t, dim)
+        terms = []
+        for i in range(bits):
+            arr = "[" + ",".join("1.0" if w > 0 else "-1.0" for w in ws[i]) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> e.embedding[j]::DOUBLE * ({arr})[j]))"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        outs.append("(" + " + ".join(terms) + f" + {t << 60})")
+    b = "[" + ", ".join(outs) + "]"
+    dot_qc = "list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))"
+    return f"""
+    WITH cb AS (
+      SELECT e.vec_id, unnest({b}) AS bucket FROM embeddings e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      FROM cb a JOIN cb b USING (bucket) WHERE a.vec_id < b.vec_id),
+    scored AS (
+      SELECT cand.id1, cand.id2,
+             round({dot_qc} / ({_NQ} * {_NC}), 6) AS cosine
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.id1
+      JOIN embeddings c ON c.vec_id = cand.id2)
+    SELECT id1, id2, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@register("dd5_embedding_near_dup", _near_dup_oracle_sql())
+def dd5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup): hyperplane
+    bucket candidates -> exact cosine >= threshold. The 0.4 threshold is
+    tuned to this synthetic table's cosine range (max ~0.51) so the
+    result set is non-trivial; production near-dup runs at ~0.9+ with
+    more bits."""
+    from gemproc2caom2_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4, bits=4, tables=8)
+
+
 @register("sim2_ann_lsh", _ann_oracle_sql())
 def sim2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path): hyperplane sign buckets, equi-join

@@ -44,6 +44,16 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes partitions by SHUFFLE BYTES, but this engine's
+        # reduce-side work (recapture collapse, LSH fold-backs) is
+        # CPU-per-row, and web text lz4-compresses 10-20:1 — with the
+        # default 1m floor a whole groupBy landed on ONE task (measured:
+        # the collapse reduce of a 24k-doc corpus ran serially at every
+        # core count, capping scaling efficiency at ~0.65). A 64k floor
+        # lets parallelism-first coalescing keep one partition per core;
+        # at production scale partitions are far above either floor, so
+        # the setting is inert there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
