@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -43,6 +44,52 @@ def test_available_now_incremental(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 45
     assert out.select("url").distinct().count() == 45
+
+
+def test_first_occurrence_stream(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): a url seen in
+    ANY earlier micro-batch — or earlier in the same batch — is dropped;
+    state survives across batches via the streaming checkpoint."""
+    from gemproc2caom2_spark.streaming.stateful import first_occurrence_stream
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: docs 0-14; batch 2: re-captures of 0-4 (later ts) + new 100-104
+    b1 = generate_pandas(15, seed=42)
+    b2 = pd.concat(
+        [generate_pandas(5, seed=42), generate_pandas(5, seed=44, offset=100)],
+        ignore_index=True,
+    )
+    b2["warc_ts"] = b2["warc_ts"] + pd.Timedelta(days=2)
+    _write_batch(spark, b1, input_dir)
+    _write_batch(spark, b2, input_dir)
+
+    src = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(input_dir)
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    deduped = first_occurrence_stream(src, key_col="url_hash")
+    q = (
+        deduped.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("first_occ")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT url, warc_ts FROM first_occ").collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls)) == 20  # 15 + 5 new, 5 recaptures dropped
+    # the kept capture of a recaptured url is the EARLIEST (batch-1) one
+    by_url = {r.url: r.warc_ts for r in rows}
+    for r in spark.createDataFrame(
+        b1.drop(columns=["category"]), schema=INPUT_SCHEMA
+    ).collect():
+        assert by_url[r.url] == r.warc_ts, r.url
 
 
 def test_windowed_quality_stream(spark, tmp_path):
