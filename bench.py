@@ -28,12 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# >= 96k docs so DAG compute dominates fixed job overhead (~4s/run of
-# AQE stage boundaries + scheduling + persist latency): at 12k docs the
-# 8-core level was mostly constant cost and the measured efficiency
-# said nothing about the engine. 192k doubles the amortization again
-# (measured: 0.66 -> 0.73 efficiency, peak throughput 4.4k docs/s).
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "192000"))
+# >= 96k docs so DAG compute dominates fixed job overhead: at 12k docs
+# the 8-core level was mostly constant cost and the measured efficiency
+# said nothing about the engine. With the round-3 protocol (pinned
+# levels, pinned plan) 96k measures 0.964 and 192k 0.933 — the larger
+# corpus adds no evidence, only wall time, so 96k is the default.
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "96000"))
 CORPUS_PATH = f"/tmp/gemproc_bench_corpus_{SCALE_DOCS}"  # dir of parquet files
 
 HEADLINE = [
