@@ -117,6 +117,100 @@ def hyperplane_bucket_expr(
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the coarse-quantizer tier:
+    every corpus vector is assigned to its nearest centroid (one
+    partition-pruning cell), a query probes only its ``n_probe``
+    closest cells, and exact cosine ranks the candidates.
+
+    ``centroids`` is the IVF model (cell id -> vector). Default:
+    training-free deterministic seeding with the first ``n_centroids``
+    corpus vectors (id < n_centroids) so external SQL oracles can
+    re-derive the exact model; production would plug in MLlib KMeans
+    centers through the same parameter.
+
+    Plan shape: the centroid table is tiny, so BOTH assignment and
+    probing are pure Column expressions over literal centroid arrays —
+    an argmax over ``n_centroids`` dot products per row, zero joins and
+    zero shuffles until the single candidates equi-join on the cell id
+    (queries broadcast). Cost ~ |C| * n_centroids mults for assignment
+    + |C| * n_probe / n_centroids exact scores per query.
+    """
+    import math
+
+    if centroids is None:
+        rows = (
+            corpus.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        centroids = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+
+    def cos_to_centroid(vec: Column, cvec: list[float]) -> Column:
+        # python-side norm constant: same left-fold double sums as the
+        # SQL oracle's list_sum, so values agree bit-for-bit
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        arr = F.array(*[F.lit(x) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return dot / (norm_expr(vec) * F.lit(cnorm))
+
+    def scored_cells(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    cos_to_centroid(vec, cvec).alias("c"),
+                    F.lit(-cid).alias("ni"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in sorted(centroids.items())
+            ]
+        )
+
+    assign = F.array_max(scored_cells(F.col(vec_col))).getField("cid")
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(scored_cells(F.col(vec_col)))), 1, n_probe),
+        lambda s: s.getField("cid"),
+    )
+
+    c = corpus.withColumn("_cell", assign)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probes).alias("_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

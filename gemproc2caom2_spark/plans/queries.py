@@ -36,8 +36,19 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    """Read a testdata table. ``spread=True`` repartitions right after
+    the scan: these tables are single sub-megabyte parquet files = ONE
+    input split, so without it a kernel-heavy map (shingling, minhash,
+    regex metrics) runs serially no matter how many cores exist. At
+    real scale the file count dwarfs the core count and the repartition
+    is pure overhead — hence opt-in per query, not a reader default."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if spread:
+        df = df.repartition(2 * spark.sparkContext.defaultParallelism)
+    return df
 
 
 def queries() -> dict[str, QueryFn]:

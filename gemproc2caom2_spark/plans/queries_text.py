@@ -71,7 +71,7 @@ def _perm_ab(i: int) -> tuple[int, int]:
 def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint of normalized text, keep min doc_id
     as canonical. One shuffle."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return (
         d.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
         .groupBy("fingerprint")
@@ -122,7 +122,7 @@ def dd2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     with built-in higher-order functions on the cross-engine hex15 hash
     — the oracle-checkable twin of the xxhash64/numpy scale path used by
     the pipeline (operators/dedup.py)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     shingles = TX.word_shingles(F.lower(F.col("text")), k=2)
     hashes = F.transform(F.array_distinct(shingles), hex15_hash)
 
@@ -165,7 +165,7 @@ def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit relational form): per-word hex15 hash, ±1 votes
     per bit, majority -> bit set. Term frequency weights (duplicates
     kept). The 60-bit numpy UDF twin is operators.dedup.with_simhash."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     ws = TX.words(F.lower(F.col("text")))
     exploded = d.select("doc_id", F.explode(ws).alias("word")).select(
         "doc_id", hex15_hash("word").alias("hw")
@@ -224,7 +224,7 @@ def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size B emits B^2/2 candidate pairs — at cap 1000 this one query was
     ~18% of the whole bench suite for pairs that Jaccard then filters
     out anyway."""
-    d = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
     return ngram_jaccard_pairs(
@@ -259,7 +259,7 @@ _NC = "sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embed
 def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 3 query vectors: broadcast query
     side, JVM zip_with/aggregate dot products, window rank."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id").isin(0, 1, 2))
     out = brute_force_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding")
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -360,7 +360,7 @@ def dd5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     more bits."""
     from gemproc2caom2_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     return embedding_near_dup_pairs(emb, threshold=0.4, bits=4, tables=8)
 
 
@@ -370,9 +370,74 @@ def sim2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of cross-join. Fully oracle-checked: the plane weights are
     build-time literals shared with the SQL rendering. Recall vs sim1 is
     additionally asserted in tests/test_similarity.py."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id").isin(0, 1, 2))
     out = lsh_ann_topk(emb, q, k=5, bits=4, id_col="vec_id", vec_col="embedding")
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _ivf_oracle_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB rendering of ivf_topk with the deterministic seeded
+    centroids (vec_id < n_centroids): assignment and probing re-derive
+    the exact same argmax (ORDER BY cos DESC, cid ASC == Spark's
+    array_max over (cos, -cid) structs)."""
+    cos_ec = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * cent.cvec[i]::DOUBLE)) / "
+        "(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * "
+        "sqrt(list_sum(list_transform(range(1, len(cent.cvec) + 1), "
+        "i -> cent.cvec[i]::DOUBLE * cent.cvec[i]::DOUBLE))))"
+    )
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {n_centroids}),
+    sc AS (
+      SELECT e.vec_id, cent.cid, {cos_ec} AS c
+      FROM embeddings e CROSS JOIN cent),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, cid ASC) AS rn
+        FROM sc) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, cid ASC) AS rn
+        FROM sc WHERE vec_id IN (0, 1, 2)) WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT probe.query_id, asg.vec_id
+      FROM probe JOIN asg ON asg.cid = probe.cid
+      WHERE asg.vec_id <> probe.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round({_DOT} / ({_NQ} * {_NC}), 6) AS cosine
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("sim3_ivf_topk", _ivf_oracle_sql())
+def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (coarse-quantizer scale path): centroid cells prune
+    the corpus, n_probe cells per query get exact cosine ranking. Seeded
+    deterministic centroids here (oracle-derivable); production plugs
+    MLlib KMeans centers into the same `centroids` parameter."""
+    from gemproc2caom2_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    out = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -388,7 +453,7 @@ def sim2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language re-derivation over the documents table (the reference
     re-derives WCS rather than trusting headers, main_app.py:374-403)."""
-    return load(spark, sf_dir, "documents").select(
+    return load(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         F.col("lang").alias("lang_claimed"),
         langid_expr("text").alias("lang_pred"),
@@ -426,7 +491,7 @@ def tx1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx2_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 heuristic metrics as pure Column exprs (operators/
     heuristics.quality_struct), flattened + rounded for the oracle."""
-    d = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = load(spark, sf_dir, "documents", spread=True).where(F.length("text") > 0)
     q = F.col("q")
     return (
         d.select("doc_id", F.col("text"))
@@ -457,7 +522,7 @@ def tx2_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) rolled up per source."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     return d.groupBy("source").agg(
         F.sum(TX.token_count_ws("text")).alias("ws_tokens"),
         F.sum(TX.token_count_bpeish("text")).alias("bpeish_tokens"),
@@ -486,7 +551,7 @@ def tx3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: 4 smallest hex15 hashes of
     char 8-grams of normalized text (functions.text.rolling_fingerprint)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     fp = TX.rolling_fingerprint("text", k=8, keep=4)
     return (
         d.select("doc_id", fp.alias("fp"))
@@ -558,7 +623,7 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     batching and partitioning are the real thing). feat0 is cast to
     double BEFORE rounding so the float32 feature compares exactly
     against the fixture's double (float->double is exact)."""
-    d = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit("text/html").alias("media_type"),
@@ -623,7 +688,7 @@ def cur2_heuristic_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemproc2caom2_spark.operators.heuristics import DEFAULT_RULES, quality_struct
 
     rules = DEFAULT_RULES
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     q = quality_struct("text")
     lang = langid_expr("text")
     d = d.select("doc_id", "text", q.alias("q"), lang.alias("lang_pred"))
@@ -846,7 +911,7 @@ def v9_rejected_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemproc2caom2_spark.functions.langid import langid_expr
     from gemproc2caom2_spark.operators.verdict import with_verdict
 
-    d = load(spark, sf_dir, "documents").select(
+    d = load(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         F.col("text").alias("text_extracted"),
         quality_struct("text").alias("quality"),
@@ -888,7 +953,7 @@ def k3_preview_sideoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder.py:100-106) — word-boundary excerpts as a side table."""
     from gemproc2caom2_spark.operators.preview import preview_excerpt
 
-    d = load(spark, sf_dir, "documents").where(F.length("text") >= 120)
+    d = load(spark, sf_dir, "documents", spread=True).where(F.length("text") >= 120)
     return d.select(
         "doc_id",
         preview_excerpt("text", 280).alias("preview"),
