@@ -49,6 +49,65 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, hist / hist.sum()
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_frame_sample(payload: bytes, n_frames: int):
+    """Deterministic stand-in for video frame sampling: ``n_frames``
+    evenly spaced byte windows, each 'decoded' by ``_fake_decode``.
+    Real deployment replaces this with ffmpeg keyframe extraction."""
+    if len(payload) == 0:
+        return []
+    out = []
+    for i in range(n_frames):
+        start = (i * len(payload)) // n_frames
+        end = ((i + 1) * len(payload)) // n_frames
+        win = payload[start:end]
+        w, h, feat = _fake_decode(win)
+        out.append((i, len(win), w, h, feat))
+    return out
+
+
+def sample_media_frames(
+    df: DataFrame,
+    n_frames: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    deterministic_fake: bool = True,
+):
+    """mapInPandas frame sampling: one OUTPUT ROW PER FRAME (a row-count
+    -changing Arrow stage — the shape a video pipeline needs, which a
+    scalar pandas UDF cannot express). Empty/null payloads emit no
+    frames. Batches bounded by arrow.maxRecordsPerBatch as in
+    decode_media_features."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "real frame extraction requires ffmpeg; not in this image"
+        )
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                for i, n, w, h, feat in _fake_frame_sample(b, n_frames):
+                    rows.append((doc_id, i, n, w, h, feat.tolist()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_op, FRAME_SCHEMA)
+
+
 def decode_media_features(
     df: DataFrame,
     id_col: str = "doc_id",

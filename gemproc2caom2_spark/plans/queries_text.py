@@ -40,6 +40,7 @@ _REPO_ROOT = _os.path.dirname(
 _FIXTURE_DIR = _os.path.join(_REPO_ROOT, "tests", "fixtures")
 _PPL_FIXTURE = _os.path.join(_FIXTURE_DIR, "perplexity_oracle.parquet")
 _MM_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_features.parquet")
+_FRAMES_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_frames.parquet")
 _DUP_FIXTURE = _os.path.join(_FIXTURE_DIR, "lsh_duplicates.parquet")
 
 
@@ -631,6 +632,33 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = decode_media_features(d)
     return out.select(
         "doc_id", "n_bytes", "media_type", "width", "height",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
+    )
+
+
+@register(
+    "mm3_frame_sample",
+    # one fixture row per (distinct text, frame): docs with null/empty
+    # text emit no frames on either side (inner join == empty payload)
+    """
+    SELECT d.doc_id, fx.frame_idx, fx.n_bytes, fx.width, fx.height, fx.feat0
+    FROM documents d
+    JOIN read_parquet('{frames_fixture}') fx ON md5(d.text) = fx.text_md5
+    """.replace("{frames_fixture}", _FRAMES_FIXTURE),
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: binary payload -> mapInPandas emitting
+    ONE ROW PER FRAME (row-count-changing Arrow stage, the video-keyframe
+    shape; sampler stubbed deterministically, schema/batching real).
+    Oracle: the pinned sampler's fixture joined per distinct text."""
+    from gemproc2caom2_spark.operators.multimodal import sample_media_frames
+
+    d = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = sample_media_frames(d, n_frames=3)
+    return out.select(
+        "doc_id", "frame_idx", "n_bytes", "width", "height",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
     )
 
