@@ -47,7 +47,10 @@ HEADLINE = [
     "dd1_exact_dedup",
     "dd2_minhash_signature",
     "dd4_ngram_jaccard_pairs",
+    "dd5_embedding_near_dup",
     "sim1_cosine_topk",
+    "sim3_ivf_topk",
+    "mm2_media_features",
     "tx2_quality_metrics",
     "tx5_scrub",
     "j5_lineage_fold",

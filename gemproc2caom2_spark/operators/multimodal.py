@@ -49,6 +49,68 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, hist / hist.sum()
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_w", T.IntegerType()),
+        T.StructField("resized_h", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, max_dim: int):
+    """Deterministic stand-in for an image resize: decode the fake
+    dims, scale the longer side down to ``max_dim`` (never upscale),
+    and re-extract the feature from a stride-subsampled byte view —
+    the compute shape of a real thumbnailer (decode -> scale ->
+    re-encode/feature) without PIL."""
+    w, h, _ = _fake_decode(payload)
+    if w == 0 and h == 0:
+        return 0, 0, 0, 0, np.zeros(8, dtype=np.float32)
+    longer = max(w, h)
+    if longer <= max_dim:
+        rw, rh, sub = w, h, payload
+    else:
+        rw = w * max_dim // longer
+        rh = h * max_dim // longer
+        step = -(-longer // max_dim)  # ceil: subsample stride
+        sub = payload[::step]
+    _, _, feat = _fake_decode(sub)
+    return w, h, rw, rh, feat
+
+
+def resize_media(
+    df: DataFrame,
+    max_dim: int = 128,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    deterministic_fake: bool = True,
+):
+    """mapInPandas media resize (the preview/thumbnail pixel path,
+    preview_augmentation.py:88-133's 1024/256-px jpg pair): emits
+    original + resized dims and the post-resize feature vector."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "real image resizing requires PIL; not in this image"
+        )
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                w, h, rw, rh, feat = _fake_resize(b, max_dim)
+                rows.append((doc_id, w, h, rw, rh, feat.tolist()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_op, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -41,6 +41,7 @@ _FIXTURE_DIR = _os.path.join(_REPO_ROOT, "tests", "fixtures")
 _PPL_FIXTURE = _os.path.join(_FIXTURE_DIR, "perplexity_oracle.parquet")
 _MM_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_features.parquet")
 _FRAMES_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_frames.parquet")
+_RESIZE_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_resize.parquet")
 _DUP_FIXTURE = _os.path.join(_FIXTURE_DIR, "lsh_duplicates.parquet")
 
 
@@ -659,6 +660,38 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sample_media_frames(d, n_frames=3)
     return out.select(
         "doc_id", "frame_idx", "n_bytes", "width", "height",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
+    )
+
+
+@register(
+    "mm4_resize",
+    # null-text docs decode to all-zero dims/features on the Spark side
+    """
+    SELECT d.doc_id,
+           coalesce(fx.width, 0) AS width,
+           coalesce(fx.height, 0) AS height,
+           coalesce(fx.resized_w, 0) AS resized_w,
+           coalesce(fx.resized_h, 0) AS resized_h,
+           coalesce(fx.feat0, 0.0) AS feat0
+    FROM documents d
+    LEFT JOIN read_parquet('{resize_fixture}') fx ON md5(d.text) = fx.text_md5
+    """.replace("{resize_fixture}", _RESIZE_FIXTURE),
+)
+def mm4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail plumbing (the jpg preview/thumb pixel path,
+    preview_augmentation.py:88-133): decode dims, downscale the longer
+    side to 128, re-extract the feature from the subsampled payload —
+    all inside one Arrow mapInPandas stage; sampler stubbed, shape
+    real. Oracle: the pinned resizer's fixture per distinct text."""
+    from gemproc2caom2_spark.operators.multimodal import resize_media
+
+    d = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = resize_media(d, max_dim=128)
+    return out.select(
+        "doc_id", "width", "height", "resized_w", "resized_h",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
     )
 
