@@ -254,15 +254,32 @@ def embedding_near_dup_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    e1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-    e2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    # norms computed ONCE per vector and carried through the pair join:
+    # higher-order aggregate lambdas evaluate interpreted per element,
+    # so recomputing norm_expr per PAIR (as cosine_expr would) costs
+    # candidates * 2 * dim interpreted evals — measured seconds at 250k
+    # pairs. Same arithmetic per vector, so values are bit-identical.
+    e1 = corpus.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("_v1"),
+        norm_expr(F.col(vec_col)).alias("_n1"),
+    )
+    e2 = corpus.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("_v2"),
+        norm_expr(F.col(vec_col)).alias("_n2"),
+    )
     scored = (
         cand.join(e1, on="id1")
         .join(e2, on="id2")
         .select(
             "id1",
             "id2",
-            F.round(cosine_expr(F.col("_v1"), F.col("_v2")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("_v1"), F.col("_v2"))
+                / (F.col("_n1") * F.col("_n2")),
+                6,
+            ).alias("cosine"),
         )
     )
     return scored.where(F.col("cosine") >= threshold)

@@ -353,17 +353,19 @@ def _near_dup_oracle_sql(threshold: float = 0.4, bits: int = 4,
     """
 
 
-@register("dd5_embedding_near_dup", _near_dup_oracle_sql())
+@register("dd5_embedding_near_dup", _near_dup_oracle_sql(bits=6))
 def dd5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (semantic dedup): hyperplane
     bucket candidates -> exact cosine >= threshold. The 0.4 threshold is
     tuned to this synthetic table's cosine range (max ~0.51) so the
-    result set is non-trivial; production near-dup runs at ~0.9+ with
-    more bits."""
+    result set is non-trivial; production near-dup runs at ~0.9+.
+    bits=6: 64 cells bounds candidate pairs at |C|^2*tables/2^bits/2
+    (16 cells at sf0.1's 2000 vectors meant ~1M exact cosines — 4x the
+    bits cuts that 4x at the standard bits-vs-recall cost)."""
     from gemproc2caom2_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    return embedding_near_dup_pairs(emb, threshold=0.4, bits=4, tables=8)
+    return embedding_near_dup_pairs(emb, threshold=0.4, bits=6, tables=8)
 
 
 @register("sim2_ann_lsh", _ann_oracle_sql())
