@@ -3,9 +3,10 @@
 entry()      — flagship curation DAG over sf0.001 documents.
 queries()    — one entry per implemented operator family (SURVEY.md §2
                + training-data ops), from gemproc2caom2_spark.plans.
-oracle_sql() — DuckDB-equivalent SQL per query (omitted only for
-               Arrow-UDF / xxhash-dependent ops, which get the weaker
-               rows-only check).
+oracle_sql() — DuckDB-equivalent SQL for EVERY query. Non-SQL-derivable
+               kernels (Arrow perplexity, fake media codecs, the LSH
+               duplicate set) are pinned by fixture parquets the SQL
+               joins (tests/gen_fixtures.py regenerates them).
 """
 
 from __future__ import annotations

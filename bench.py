@@ -225,7 +225,15 @@ def run_scaling() -> dict:
     # a co-tenant burst and which a burst therefore biases most)
     extra = 0
     max_retries = int(os.environ.get("SPARK_GRAFT_SCALE_RETRIES", "4"))
-    while efficiency() < target and extra < max_retries:
+    phase_cap = float(os.environ.get("SPARK_GRAFT_SCALE_WALL_CAP", "900"))
+    t_phase = time.monotonic()
+    while (
+        efficiency() < target
+        and extra < max_retries
+        # a sustained burst can pollute every retry too — stop burning
+        # wall time past the cap and let the spread fields tell the story
+        and time.monotonic() - t_phase < phase_cap
+    ):
         spread_l = max(all_reps[low_n]) / min(all_reps[low_n])
         spread_h = max(all_reps[high_n]) / min(all_reps[high_n])
         cores = low_n if spread_l > spread_h else high_n
