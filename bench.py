@@ -120,6 +120,14 @@ def scale_level(cores: int, reps: int) -> None:
             # the high level has cores (web-text parquet compresses
             # 10-20x, so byte-sized splits are CPU-enormous)
             "spark.sql.files.maxPartitionBytes": "16m",
+            # with AQE off, the static planner's size estimates for the
+            # dedup fold-back's thin aggregate frames overshoot and the
+            # 7 small joins become sort-merge exchanges — pure stage-
+            # tail latency that only the high level feels. The frames
+            # are a few MB of longs; raise the static threshold so they
+            # broadcast (AQE does this adaptively in the production
+            # config).
+            "spark.sql.autoBroadcastJoinThreshold": "256m",
         },
     )
     df = spark.read.parquet(CORPUS_PATH)
