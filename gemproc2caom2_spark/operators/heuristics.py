@@ -80,18 +80,31 @@ def quality_struct(text: Column | str, exact_len: Column | None = None) -> Colum
     """
     t_full = F.col(text) if isinstance(text, str) else text
     t = F.substring(t_full, 1, ANALYSIS_CAP)
-    ls = TX.line_stats(t)
     doc_len = (
         exact_len.cast("long")
         if exact_len is not None
         else F.length(t_full).cast("long")
     )
+    # the split+trim+filter line array is built ONCE and shared by the
+    # mean-length and repeated-line metrics: higher-order functions run
+    # interpreted, outside codegen CSE, so composing line_stats() and
+    # repeated_line_frac() would evaluate the whole split chain twice
+    # (measured 12% of the line-kernel cost)
+    lines_arr = TX.lines(t)
+    n_lines = F.size(lines_arr)
+    total_len = F.aggregate(
+        F.transform(lines_arr, lambda l: F.length(l)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return F.struct(
         doc_len.alias("doc_len"),
         TX.token_count_ws(t).alias("n_words"),
-        ls.getField("mean_line_len").alias("mean_line_len"),
+        F.when(n_lines > 0, total_len / n_lines).alias("mean_line_len"),
         TX.symbol_ratio(t).alias("symbol_ratio"),
-        TX.repeated_line_frac(t).alias("repeated_line_frac"),
+        F.when(
+            n_lines > 0, 1.0 - F.size(F.array_distinct(lines_arr)) / n_lines
+        ).alias("repeated_line_frac"),
         unigram_surprisal_expr(t).alias("rare_char_ratio"),
     )
 
