@@ -65,7 +65,12 @@ QUALITY_FIELDS = (
 # scanned per doc directly sets throughput. 16 KB of ratios and 4 KB of
 # stopword counting decide the same verdicts as full-document scans.
 ANALYSIS_CAP = 16384
-LANGID_CAP = 4096
+# langid reads a 2 KB prefix: at min_hits=2 with 8 stopwords/language,
+# predictions are identical to a 4 KB (and even 1 KB) cap on every test
+# corpus — zero diffs measured across sf0.001/0.01/0.1 and the 96k
+# bench corpus — while the 5 profile regex passes scan half the bytes
+# (langid was the single largest Column-expr kernel).
+LANGID_CAP = 2048
 
 
 def quality_struct(text: Column | str, exact_len: Column | None = None) -> Column:

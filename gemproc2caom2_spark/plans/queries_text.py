@@ -15,7 +15,7 @@ from gemproc2caom2_spark.functions.langid import langid_expr, langid_sql
 from gemproc2caom2_spark.functions.scrub import scrub_expr, scrub_sql
 from gemproc2caom2_spark.functions import text as TX
 from gemproc2caom2_spark.operators.dedup import ngram_jaccard_pairs, normalized_fingerprint
-from gemproc2caom2_spark.operators.heuristics import quality_struct
+from gemproc2caom2_spark.operators.heuristics import LANGID_CAP, quality_struct
 from gemproc2caom2_spark.operators.multimodal import decode_media_features
 from gemproc2caom2_spark.operators.similarity import brute_force_topk, lsh_ann_topk
 from gemproc2caom2_spark.plans.queries import load, register
@@ -782,7 +782,7 @@ def cur2_heuristic_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ANALYSIS_CAP / LANGID_CAP prefixes, mirroring heuristics.py
 _T16 = "substring(text, 1, 16384)"
-_T4 = "substring(text, 1, 4096)"
+_T4 = "substring(text, 1, 2048)"  # LANGID_CAP, mirroring heuristics.py
 
 # the full cheap-gate + perplexity verdict CTE chain, shared by the cur3
 # and cur1 oracles (m -> c -> v -> p; `source` rides along so cur1 can
@@ -978,7 +978,7 @@ def v9_rejected_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("text").alias("text_extracted"),
         quality_struct("text").alias("quality"),
-        langid_expr(F.substring("text", 1, 4096)).alias("lang_pred"),
+        langid_expr(F.substring("text", 1, LANGID_CAP)).alias("lang_pred"),
         F.lit(None).cast("double").alias("perplexity"),
         (F.col("doc_id") % 10 == 0).alias("rejected"),
     )
