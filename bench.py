@@ -1,9 +1,10 @@
 """Benchmark harness.
 
 Phase 1 — headline queries at local[$SPARK_GRAFT_CPUS] over
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): per-query seconds.
-Results are consumed with the `noop` datasource so column pruning can't
-skip the computed expressions being measured.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): per-query MIN over
+>=2 reps (burst-robust; all reps + spread reported alongside). Results
+are consumed with the `noop` datasource so column pruning can't skip
+the computed expressions being measured.
 
 Phase 2 — scaling-efficiency evidence for the north rule (N vs 4N
 parallelism on identical input): the full curation DAG over a
@@ -64,20 +65,39 @@ def _consume(df) -> int:
     return 0
 
 
-def run_headline(spark) -> dict[str, float]:
+def run_headline(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-query timings, burst-robust: every query runs >= HEADLINE_REPS
+    times (cache cleared between reps) and reports its MIN; when the
+    max/min spread across a query's reps exceeds 2x — the signature of a
+    co-tenant burst on this host (BASELINE.md), not of the plan — ONE
+    extra rep is appended so a single polluted rep can't be half the
+    evidence. All rep times ship in the JSON (queries_reps /
+    queries_spread) so a polluted artifact is visible as such. This is
+    the same protocol the scaling phase has used since r3; r3's headline
+    artifact showed 14-23x tail inflations that a single-shot timing
+    could neither explain nor rule out as regressions."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
     # warmup (untimed): JIT, codegen, Arrow/Python-worker startup land
     # here instead of inflating whichever query runs first
     _consume(qs["tx5_scrub"](spark, SF_DIR))
-    timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.monotonic()
-        _consume(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
-    return timings
+
+        def one_rep() -> float:
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            _consume(fn(spark, SF_DIR))
+            return round(time.monotonic() - t0, 3)
+
+        times = [one_rep() for _ in range(reps)]
+        if max(times) / min(times) > 2.0:
+            times.append(one_rep())
+        all_reps[name] = times
+    return {n: min(t) for n, t in all_reps.items()}, all_reps
 
 
 def scale_level(cores: int, reps: int) -> None:
@@ -273,7 +293,7 @@ def main() -> None:
         app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS,
         driver_memory=os.environ.get("SPARK_GRAFT_MEM", "32g"),
     )
-    timings = run_headline(spark)
+    timings, headline_reps = run_headline(spark)
     spark.stop()
 
     scaling = run_scaling()
@@ -287,6 +307,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_reps": headline_reps,
+                "queries_spread": {
+                    n: round(max(t) / min(t), 2) for n, t in headline_reps.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "scaling": scaling,
             }

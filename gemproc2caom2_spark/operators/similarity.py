@@ -42,6 +42,20 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+
+def _infer_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Driver-side dim probe (one tiny first()) used when the caller did
+    not pass ``dim``. Raises a descriptive error on an empty corpus or a
+    null first vector instead of an opaque TypeError — pipelines at scale
+    should always pass ``dim`` explicitly and never reach this."""
+    row = corpus.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim from column {vec_col!r}: corpus is "
+            "empty or its first vector is null — pass dim= explicitly"
+        )
+    return len(row[0])
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -234,7 +248,7 @@ def embedding_near_dup_pairs(
     true pair is 1-(1-(1-θ/π)^bits)^tables. Returns (id1, id2, cosine).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
 
     def buckets(col: Column) -> Column:
         return F.array(
@@ -310,7 +324,7 @@ def lsh_ann_topk(
     with one tiny driver-side first() on the corpus.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
 
     # array of per-table buckets, exploded with the table index baked in
     def buckets(col: Column) -> Column:

@@ -88,7 +88,19 @@ def _fs_write_text(spark: SparkSession, path: str, content: str) -> None:
 
 
 def _fs_read_lines(spark: SparkSession, path: str) -> list[str]:
-    return [r.value for r in spark.read.text(path).collect() if r.value]
+    """Read a small marker file via the Hadoop FS API. NOT spark.read.text:
+    underscore-prefixed files (_SUPERSEDES) are Hadoop hidden files that
+    a DataFrame scan silently skips, returning zero rows."""
+    fs, hpath = _hadoop_fs(spark, path)
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(hpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return [ln for ln in text.splitlines() if ln]
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:
@@ -198,7 +210,19 @@ def compact_runs(
         if sub == "keys":
             df = df.distinct()
         df.write.mode("overwrite").parquet(_join(new_dir, sub))
-    _fs_write_text(spark, _join(new_dir, _SUPERSEDES), "\n".join(runs) + "\n")
+    # transitive closure: a merged run may itself be a compaction whose
+    # _SUPERSEDES is the ONLY record hiding earlier (possibly undeleted)
+    # run dirs — if we deleted it while writing only the direct ids, those
+    # runs would resurface and double-count. Union every merged run's own
+    # supersede set into the new file.
+    supersedes: set[str] = set(runs)
+    for r in runs:
+        sup = _join(root, r, _SUPERSEDES)
+        if _fs_exists(spark, sup):
+            supersedes.update(_fs_read_lines(spark, sup))
+    _fs_write_text(
+        spark, _join(new_dir, _SUPERSEDES), "\n".join(sorted(supersedes)) + "\n"
+    )
     _fs_touch(spark, _join(new_dir, _MARKER))
     if delete_retired:
         for r in runs:
@@ -240,7 +264,8 @@ def run_incremental(
             .drop("_uh")
         )
 
-    curated = curate(todo, rules=rules, num_partitions=num_partitions, emit_bands=True)
+    base = curate(todo, rules=rules, num_partitions=num_partitions, emit_bands=True)
+    curated = base
 
     if cross_run_dedup and done is not None:
         # a doc sharing any LSH band bucket with a committed doc is a
@@ -309,6 +334,8 @@ def run_incremental(
     # the snapshot is durable: release the dedup-barrier cache so
     # repeated incremental runs in one session don't accumulate cached
     # pre-dedup frames (scoped unpersist, not clearCache — the caller's
-    # own caches are none of our business)
-    unpersist_curate_cache(curated)
+    # own caches are none of our business). Unpersist via the ORIGINAL
+    # curate() return: cross-run dedup rewrites `curated` into a new
+    # DataFrame that no longer carries the persisted-frame handle.
+    unpersist_curate_cache(base)
     return run_id, n

@@ -159,6 +159,37 @@ def test_compaction(spark, tmp_path):
     assert committed_results(spark, out).count() == pre_results + len(dup_rows)
 
 
+def test_compaction_transitive_supersedes(spark, tmp_path):
+    """A compaction run with delete_retired=False leaves the retired run
+    dirs on disk, hidden only by its own _SUPERSEDES file. A LATER
+    default compaction merges-and-deletes that compaction dir; its new
+    _SUPERSEDES must carry the transitive closure, or the undeleted
+    original runs resurface and their rows double-count."""
+    out = str(tmp_path / "o")
+    corpus = generate_corpus(spark, 30)
+    run_incremental(spark, corpus.limit(10), out, run_id="r1", num_partitions=8)
+    run_incremental(spark, corpus.limit(20), out, run_id="r2", num_partitions=8)
+
+    # keep-retired compaction: r1/r2 dirs stay on disk but are superseded
+    c1, merged1 = compact_runs(spark, out, delete_retired=False)
+    assert merged1 == 2
+    assert set(os.listdir(os.path.join(out, "runs"))) == {"r1", "r2", c1}
+    assert committed_run_ids(spark, out) == [c1]
+
+    # a fresh run, then a DEFAULT compaction that deletes c1's dir
+    run_incremental(spark, corpus, out, run_id="r3", num_partitions=8)
+    total = committed_results(spark, out).count()
+    c2, merged2 = compact_runs(spark, out)
+    assert merged2 == 2  # c1 + r3
+    # r1/r2 dirs still exist (never GC'd) but must STAY invisible
+    assert set(os.listdir(os.path.join(out, "runs"))) == {"r1", "r2", c2}
+    assert committed_run_ids(spark, out) == [c2]
+    assert committed_results(spark, out).count() == total
+    # resume sees every url exactly once — no double-counted keys
+    _, n = run_incremental(spark, corpus, out, run_id="r4")
+    assert n == 0
+
+
 def test_empty_input(spark, tmp_path):
     out = str(tmp_path / "o")
     corpus = generate_corpus(spark, 15).limit(0)
