@@ -191,6 +191,47 @@ def band_keys_expr(sig: Column | str, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def resolve_canonical_fixpoint(
+    pointers: DataFrame, key_col: str, canon_col: str = "_canon_key"
+) -> DataFrame:
+    """Connected-components canonical resolution on a thin (key, canon)
+    pointer frame: iterate pointer jumping (each round rewrites every
+    pointer to its target's pointer) until NO pointer changes — the
+    fixed point where every member of a duplicate-cluster component
+    points at the component's true root (smallest key).
+
+    This is the iterative half of large-star/small-star CC specialized
+    to our invariant: pointers strictly decrease (canon <= key by
+    construction), so every chain is a monotone path and path length
+    HALVES per round — convergence in ceil(log2(longest chain)) rounds,
+    each round one broadcast-or-shuffle self-join on a 2-column frame of
+    longs. Each round materializes via localCheckpoint so the iteration
+    never replays the (expensive) upstream LSH plan and the logical plan
+    stays flat instead of doubling per round. Reference analog:
+    transitive member propagation,
+    /root/reference/gemProc2caom2/provenance_augmentation.py:264-302.
+    """
+    cur = pointers.localCheckpoint(eager=True)
+    while True:
+        parent = cur.select(
+            F.col(key_col).alias("_p_key"), F.col(canon_col).alias("_p_canon")
+        )
+        nxt = (
+            cur.withColumnRenamed(canon_col, "_old")
+            .join(parent, F.col("_old") == F.col("_p_key"), "left")
+            .select(
+                key_col,
+                F.coalesce("_p_canon", "_old").alias(canon_col),
+                (F.coalesce("_p_canon", "_old") != F.col("_old")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.where(F.col("_chg")).limit(1).count()
+        cur = nxt.drop("_chg")
+        if changed == 0:
+            return cur
+
+
 def mark_lsh_duplicates(
     df: DataFrame,
     key_col: str = "url_hash",
@@ -200,7 +241,7 @@ def mark_lsh_duplicates(
     out_col: str = "is_duplicate",
     canonical_col: str | None = None,
     canonical_attrs: DataFrame | None = None,
-    resolve_hops: int = 2,
+    resolve_hops: int | str = 2,
 ) -> DataFrame:
     """Flag docs that share any LSH band bucket with a smaller-keyed doc.
 
@@ -232,11 +273,14 @@ def mark_lsh_duplicates(
     round, so ``resolve_hops`` rounds resolve chains up to 2^hops long.
     Pointers strictly decrease, so the walk always terminates at a
     non-duplicate; 2 rounds (chains of 4) cover real LSH chaining, where
-    long chains without shared buckets are vanishingly rare — a full
-    fixed-point is connected components (large-star/small-star), a
-    different operator. The purely declarative rounds stay in one plan:
-    the self-join branches are identical subtrees, so Spark reuses the
-    exchange instead of recomputing.
+    long chains without shared buckets are vanishingly rare. The purely
+    declarative rounds stay in one plan: the self-join branches are
+    identical subtrees, so Spark reuses the exchange instead of
+    recomputing. Pass ``resolve_hops="full"`` for the connected-
+    components fixed point (``resolve_canonical_fixpoint``): iterate
+    until no pointer changes, so arbitrarily long chains resolve to the
+    true cluster root — the right setting when lineage must name the
+    canonical doc of heavy-boilerplate corpora at 100-TB scale.
     """
     other_cols = [c for c in df.columns]
     exploded = (
@@ -257,18 +301,21 @@ def mark_lsh_duplicates(
         .groupBy(key_col)
         .agg(F.min("_bucket_min").alias("_canon_key"))
     )
-    for _ in range(resolve_hops):
-        parent = dup_flags.select(
-            F.col(key_col).alias("_p_key"), F.col("_canon_key").alias("_p_canon")
-        )
-        dup_flags = dup_flags.join(
-            parent,
-            dup_flags["_canon_key"] == parent["_p_key"],
-            "left",
-        ).select(
-            key_col,
-            F.coalesce(F.col("_p_canon"), F.col("_canon_key")).alias("_canon_key"),
-        )
+    if resolve_hops == "full":
+        dup_flags = resolve_canonical_fixpoint(dup_flags, key_col)
+    else:
+        for _ in range(resolve_hops):
+            parent = dup_flags.select(
+                F.col(key_col).alias("_p_key"), F.col("_canon_key").alias("_p_canon")
+            )
+            dup_flags = dup_flags.join(
+                parent,
+                dup_flags["_canon_key"] == parent["_p_key"],
+                "left",
+            ).select(
+                key_col,
+                F.coalesce(F.col("_p_canon"), F.col("_canon_key")).alias("_canon_key"),
+            )
     is_dup = F.col("_canon_key") < F.col(key_col)
     attr_names: list[str] = []
     if canonical_attrs is not None:

@@ -225,6 +225,49 @@ def ivf_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> dict[int, list[float]]:
+    """Train the IVF coarse quantizer: MLlib k-means|| over the corpus
+    embeddings, returning ``{cell_id: center}`` in the exact shape
+    ``ivf_topk(centroids=...)`` consumes. Distributed training (the
+    driver only ever holds the k centers), deterministic for a fixed
+    seed + input. Persist the result once (a k-row parquet of
+    (cid, cvec)) and probe the STORED model from then on — retraining
+    per query would both waste a full corpus pass and silently shift
+    cell assignments between runs.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.where(F.col(vec_col).isNotNull()).select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return {
+        cid: [float(x) for x in center]
+        for cid, center in enumerate(model.clusterCenters())
+    }
+
+
+def save_ivf_model(spark, centroids: dict[int, list[float]], path: str) -> None:
+    """Persist a trained quantizer as a (cid, cvec) parquet — the model
+    registry row a production job reads instead of retraining."""
+    rows = [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(centroids.items())]
+    spark.createDataFrame(rows, "cid int, cvec array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_ivf_model(spark, path: str) -> dict[int, list[float]]:
+    rows = spark.read.parquet(path).collect()
+    return {int(r.cid): [float(x) for x in r.cvec] for r in rows}
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

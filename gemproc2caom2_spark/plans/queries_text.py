@@ -43,6 +43,7 @@ _MM_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_features.parquet")
 _FRAMES_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_frames.parquet")
 _RESIZE_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_resize.parquet")
 _DUP_FIXTURE = _os.path.join(_FIXTURE_DIR, "lsh_duplicates.parquet")
+_IVF_FIXTURE = _os.path.join(_FIXTURE_DIR, "ivf_centers.parquet")
 
 
 def _perm_ab(i: int) -> tuple[int, int]:
@@ -442,6 +443,101 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id").isin(0, 1, 2))
     out = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _ivf_trained_oracle_sql(k: int = 5, n_probe: int = 4) -> str:
+    """ivf_topk probing STORED MLlib-trained centers: cent comes from
+    the ivf_centers fixture (tests/gen_fixtures.py), selected by the
+    embeddings-corpus fingerprint the oracle recomputes from the table
+    it sees — the same key the Spark query resolves."""
+    emb_md5 = (
+        "(SELECT md5(string_agg(md5(embedding::VARCHAR), '' ORDER BY vec_id)) "
+        "FROM embeddings)"
+    )
+    cos_ec = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * cent.cvec[i])) / "
+        "(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * "
+        "sqrt(list_sum(list_transform(range(1, len(cent.cvec) + 1), "
+        "i -> cent.cvec[i] * cent.cvec[i]))))"
+    )
+    return f"""
+    WITH cent AS (
+      SELECT cid::BIGINT AS cid, cvec FROM read_parquet('{_IVF_FIXTURE}')
+      WHERE emb_md5 = {emb_md5}),
+    sc AS (
+      SELECT e.vec_id, cent.cid, {cos_ec} AS c
+      FROM embeddings e CROSS JOIN cent),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, cid ASC) AS rn
+        FROM sc) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, cid ASC) AS rn
+        FROM sc WHERE vec_id IN (0, 1, 2)) WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT probe.query_id, asg.vec_id
+      FROM probe JOIN asg ON asg.cid = probe.cid
+      WHERE asg.vec_id <> probe.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             round({_DOT} / ({_NQ} * {_NC}), 6) AS cosine
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("sim4_ivf_trained", _ivf_trained_oracle_sql())
+def sim4_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing a TRAINED, PERSISTED quantizer: MLlib k-means||
+    centers (k=16, seed=42) stored as a (cid, cvec) parquet at fixture-
+    generation time and selected here by corpus fingerprint — never
+    retrained at query time. A production registry keys the model row
+    by the Iceberg table's snapshot id; the content fingerprint (one
+    driver-side DuckDB pass over the embeddings column at model-LOOKUP
+    time only, never per row) is the sandbox stand-in for that id.
+    Falls back to in-session training for a corpus with no stored model
+    (e.g. a fresh sf dir) so the operator still runs everywhere."""
+    from gemproc2caom2_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    centroids: dict[int, list[float]] | None = None
+    if _os.path.exists(_IVF_FIXTURE):
+        import duckdb
+
+        con = duckdb.connect()
+        fp = con.sql(
+            "SELECT md5(string_agg(md5(embedding::VARCHAR), '' ORDER BY vec_id)) "
+            f"FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        con.close()
+        rows = (
+            spark.read.parquet(_IVF_FIXTURE)
+            .where(F.col("emb_md5") == fp)
+            .collect()
+        )
+        if rows:
+            centroids = {int(r.cid): [float(x) for x in r.cvec] for r in rows}
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, k=16, seed=42)
+    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    out = ivf_topk(
+        emb, q, k=5, n_centroids=len(centroids), n_probe=4, centroids=centroids
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

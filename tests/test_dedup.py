@@ -84,6 +84,49 @@ def test_lsh_chained_cluster_resolves_to_root(spark):
     assert got[3] == (True, 1), "chained canonical must resolve past B"
 
 
+def test_lsh_full_fixpoint_resolves_long_chain(spark):
+    """A chain of 8 docs (doc i shares exactly one band bucket with doc
+    i+1) has canonical pointers i -> i-1: depth 7, beyond the default
+    2-round pointer-jump (2^2 = 4 hops). resolve_hops='full' must
+    iterate to the fixed point and name doc 1 as every member's root."""
+    bands, rpb = 8, 2
+
+    def sig(i: int) -> list[int]:
+        out = []
+        for j in range(bands):
+            if j == i - 1 and i < 8:
+                v = 1000 + i          # link to doc i+1
+            elif j == i - 2:
+                v = 1000 + (i - 1)    # link from doc i-1
+            else:
+                v = i * 100 + j       # unique filler
+            out.extend([v] * rpb)
+        return out
+
+    d = spark.createDataFrame(
+        [(i, sig(i)) for i in range(1, 9)],
+        "doc_id long, minhash_sig array<bigint>",
+    )
+
+    full = mark_lsh_duplicates(
+        d, key_col="doc_id", sig_col="minhash_sig", bands=bands,
+        rows_per_band=rpb, canonical_col="canon", resolve_hops="full",
+    ).collect()
+    got = {r.doc_id: (r.is_duplicate, r.canon) for r in full}
+    assert got[1] == (False, None)
+    for i in range(2, 9):
+        assert got[i] == (True, 1), f"doc {i} must resolve to the root"
+
+    # premise guard: the default bounded resolution genuinely cannot
+    # reach the root from the chain's tail (else this test proves nothing)
+    bounded = mark_lsh_duplicates(
+        d, key_col="doc_id", sig_col="minhash_sig", bands=bands,
+        rows_per_band=rpb, canonical_col="canon", resolve_hops=2,
+    ).collect()
+    tail = {r.doc_id: r.canon for r in bounded}[8]
+    assert tail == 4, tail
+
+
 def test_simhash_null_and_identity(spark, docs):
     sim = docs.select(
         "doc_id", make_simhash_udf()(word_hex15_hashes_expr("text")).alias("sh")

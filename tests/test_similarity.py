@@ -53,6 +53,42 @@ def test_ivf_recall(spark, emb):
             assert r.cosine == ex[(r.query_id, r.vec_id)]
 
 
+def test_trained_ivf_recall_and_persistence(spark, emb, tmp_path):
+    """MLlib-trained quantizer: training is deterministic for a fixed
+    seed, the persisted (cid, cvec) parquet round-trips exactly, and
+    probing the stored model clears the same recall bar as the seeded
+    quantizer (>= 40% of exact top-5 for 10 queries, exact cosines on
+    overlaps)."""
+    from gemproc2caom2_spark.operators.similarity import (
+        ivf_topk,
+        load_ivf_model,
+        save_ivf_model,
+        train_ivf_centroids,
+    )
+
+    centers = train_ivf_centroids(emb, k=16, seed=42)
+    assert centers == train_ivf_centroids(emb, k=16, seed=42)
+
+    path = str(tmp_path / "ivf_model")
+    save_ivf_model(spark, centers, path)
+    assert load_ivf_model(spark, path) == centers
+
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(
+        emb, q, k=5, n_centroids=16, n_probe=4, centroids=centers
+    ).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    assert approx_set, "trained IVF returned nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, recall
+    ex = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.query_id, r.vec_id) in ex:
+            assert r.cosine == ex[(r.query_id, r.vec_id)]
+
+
 def test_embedding_near_dup_exactness(spark, emb):
     """Every pair the bucketed near-dup op returns must be a true pair
     (cosine computed exactly, id1 < id2, above threshold); recall vs the
