@@ -52,11 +52,39 @@ def first_occurrence_stream(
             for _ in pdfs:
                 pass
         else:
-            batch = pd.concat(list(pdfs), ignore_index=True)
-            if len(batch):
-                if order_col and order_col in batch.columns:
-                    batch = batch.sort_values(order_col, kind="mergesort")
-                yield batch.head(1)[cols]
+            # fold the iterator to ONE running-min row: a hot key that
+            # floods a micro-batch must never materialize its whole
+            # group in executor memory (pd.concat of the iterator would
+            # hold every chunk at once); peak held state is one chunk +
+            # one row regardless of group size
+            ordered = bool(order_col) and order_col in cols
+            best: pd.DataFrame | None = None
+            for chunk in pdfs:
+                if not len(chunk):
+                    continue
+                if ordered:
+                    # nsmallest(keep='first') == stable-sort + head(1),
+                    # except it drops all-null chunks — fall back to the
+                    # chunk head so a null-ordered row can still win an
+                    # otherwise-empty group
+                    cand = chunk.nsmallest(1, order_col)
+                    if not len(cand):
+                        cand = chunk.head(1)
+                else:
+                    cand = chunk.head(1)
+                if best is None:
+                    best = cand.copy()
+                elif ordered:
+                    bv = best.iloc[0][order_col]
+                    cv = cand.iloc[0][order_col]
+                    # earlier timestamp wins; any value beats null; ties
+                    # keep the earlier-seen row (matches stable sort)
+                    if (pd.isna(bv) and not pd.isna(cv)) or (
+                        not pd.isna(cv) and not pd.isna(bv) and cv < bv
+                    ):
+                        best = cand.copy()
+            if best is not None:
+                yield best[cols]
             state.update((True,))
 
     return src.groupBy(key_col).applyInPandasWithState(
@@ -65,4 +93,92 @@ def first_occurrence_stream(
         stateStructType="seen boolean",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_stream(
+    src: DataFrame,
+    key_col: str = "url_hash",
+    bands_col: str = "lsh_bands",
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate suppression on a live stream — the
+    streaming twin of the checkpoint ledger's cross-run LSH dedup
+    (plans/checkpoint.py cross_run_dedup): a doc sharing ANY band bucket
+    with a doc from an earlier micro-batch is a duplicate (the earlier
+    doc is canonical); within a batch the smallest ``key_col`` per
+    bucket survives, exactly the batch operator's flag semantics
+    (is_duplicate == any bucket holds a smaller key).
+
+    Input needs a precomputed ``bands_col`` (array<bigint> of LSH band
+    bucket keys, e.g. ``band_keys_expr`` over the minhash signature).
+    State is keyed by BUCKET (one boolean per bucket ever seen — the
+    same compact-ledger discipline as the batch keys ledger), so 10^12
+    buckets shard across executors with the state-store shuffle.
+
+    Output: the exploded (doc x band) rows with a ``_bucket_dup`` flag.
+    A doc is a duplicate iff ANY of its bucket rows is flagged — fold
+    with ``fold_bucket_verdicts`` inside the caller's foreachBatch sink
+    (chaining a second stateful aggregation after
+    applyInPandasWithState in one streaming plan is not supported; the
+    fold is batch-local anyway because every doc's bucket rows land in
+    the same micro-batch).
+
+    Per-bucket groups are buffered to find the batch-local min key: a
+    bucket group is a single LSH hash bucket within ONE micro-batch —
+    band index is baked into the bucket value, so this is bounded by
+    near-identical docs per batch, not corpus boilerplate at large.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    exploded = (
+        src.where(F.col(bands_col).isNotNull())
+        .withColumn("_bucket", F.explode(bands_col))
+        .drop(bands_col)
+    )
+    out_schema = StructType(
+        exploded.schema.fields + [StructField("_bucket_dup", BooleanType())]
+    )
+    cols = [f.name for f in exploded.schema.fields]
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            # bucket committed by an earlier batch: every current doc
+            # sharing it is a near-dup (streamed chunk by chunk — no
+            # group buffering on the already-seen path)
+            for chunk in pdfs:
+                if len(chunk):
+                    out = chunk[cols].copy()
+                    out["_bucket_dup"] = True
+                    yield out
+        else:
+            group = pd.concat(list(pdfs), ignore_index=True)
+            if len(group):
+                out = group[cols].copy()
+                out["_bucket_dup"] = out[key_col] > out[key_col].min()
+                yield out
+            state.update((True,))
+
+    return exploded.groupBy("_bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fold_bucket_verdicts(batch_df: DataFrame, key_col: str = "url_hash") -> DataFrame:
+    """Fold ``near_dup_stream`` bucket verdicts back to one row per doc
+    (use inside foreachBatch): is_duplicate = ANY bucket flagged; the
+    payload columns are identical across a doc's bucket rows, so any
+    representative works (max picks one deterministically)."""
+    from pyspark.sql import functions as F
+
+    payload = [c for c in batch_df.columns if c not in (key_col, "_bucket", "_bucket_dup")]
+    return batch_df.groupBy(key_col).agg(
+        *[F.max(c).alias(c) for c in payload],
+        F.max("_bucket_dup").alias("is_duplicate"),
     )

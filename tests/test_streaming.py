@@ -92,6 +92,144 @@ def test_first_occurrence_stream(spark, tmp_path):
         assert by_url[r.url] == r.warc_ts, r.url
 
 
+def test_first_occurrence_hot_key(spark, tmp_path):
+    """A key that floods one micro-batch (thousands of rows) must fold
+    to its earliest row WITHOUT materializing the whole group: the
+    operator iterates Arrow chunks keeping one running-min row. Arrow
+    batches are forced tiny so the iterator really yields many chunks,
+    and the row whose timestamp is the global min is buried mid-stream."""
+    from gemproc2caom2_spark.streaming.stateful import first_occurrence_stream
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    n = 5000
+    base = pd.Timestamp("2025-01-01")
+    ts = [base + pd.Timedelta(hours=(i * 2654435761) % n + 1) for i in range(n)]
+    ts[3271] = base  # the winner, buried deep in the group
+    hot = pd.DataFrame(
+        {
+            "url": ["https://hot.example/page"] * n,
+            "warc_ts": ts,
+            "html": [None] * n,
+            "text": [f"row {i}" for i in range(n)],
+            "lang": ["en"] * n,
+        }
+    )
+    spark.createDataFrame(hot, schema=INPUT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        src = (
+            spark.readStream.schema(INPUT_SCHEMA)
+            .parquet(input_dir)
+            .withColumn("url_hash", F.xxhash64("url"))
+        )
+        q = (
+            first_occurrence_stream(src, key_col="url_hash")
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("hot_key")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    rows = spark.sql("SELECT url, warc_ts, text FROM hot_key").collect()
+    assert len(rows) == 1
+    assert rows[0].warc_ts == base and rows[0].text == "row 3271"
+
+
+def test_near_dup_stream_cross_batch(spark, tmp_path):
+    """Streaming LSH near-dup suppression: a near-duplicate (not
+    exact-key) arriving in a LATER micro-batch is flagged against the
+    band-bucket state of earlier batches; within one batch the smaller
+    url_hash of a near-dup pair survives; distinct docs pass."""
+    from gemproc2caom2_spark.operators.dedup import (
+        band_keys_expr,
+        with_minhash_signature,
+    )
+    from gemproc2caom2_spark.streaming.stateful import (
+        fold_bucket_verdicts,
+        near_dup_stream,
+    )
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    t_a = ("the quick brown fox jumps over the lazy dog while rain falls "
+           "softly on the quiet village roofs at dusk every single evening")
+    t_a_near = t_a.replace("quick", "swift")
+    t_b = ("completely different content about distributed query engines "
+           "columnar storage formats and adaptive shuffle partitioning "
+           "strategies for large analytical workloads in production")
+    t_d = ("a third unrelated document describing coastal erosion patterns "
+           "measured across twenty years of satellite imagery and tide "
+           "gauge records collected by regional observatories")
+    t_d_near = t_d.replace("third", "fourth")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": [pd.Timestamp("2025-01-01")] * len(rows),
+                "html": [None] * len(rows),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+            }
+        )
+        spark.createDataFrame(pdf, schema=INPUT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    write_batch([("https://x/a", t_a), ("https://x/b", t_b)])
+    write_batch(
+        [
+            ("https://x/c", t_a_near),  # cross-batch near-dup of a
+            ("https://x/d", t_d),
+            ("https://x/e", t_d_near),  # within-batch near-dup pair with d
+        ]
+    )
+
+    src = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    src = with_minhash_signature(src, text_col="text", out_col="minhash_sig")
+    src = src.withColumn(
+        "lsh_bands", band_keys_expr("minhash_sig", bands=16, rows_per_band=8)
+    ).drop("minhash_sig", "html")
+
+    verdicts: dict[str, bool] = {}
+
+    def sink(batch_df, batch_id):
+        for r in fold_bucket_verdicts(batch_df).collect():
+            verdicts[r.url] = bool(r.is_duplicate)
+
+    q = (
+        near_dup_stream(src)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert verdicts["https://x/a"] is False
+    assert verdicts["https://x/b"] is False
+    assert verdicts["https://x/c"] is True, "cross-batch near-dup must drop"
+    # within-batch pair: exactly the larger-hashed of d/e is flagged
+    assert verdicts["https://x/d"] != verdicts["https://x/e"]
+
+
 def test_windowed_quality_stream(spark, tmp_path):
     input_dir = str(tmp_path / "in")
     _write_batch(spark, generate_pandas(45, seed=42), input_dir)
