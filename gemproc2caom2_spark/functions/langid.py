@@ -44,6 +44,13 @@ def _profile_score(text_lc: Column, stopwords: list[str]) -> Column:
 def langid_expr(text: Column | str, min_hits: int = 2) -> Column:
     """Predicted language code: argmax of profile scores.
 
+    Shape note (r4): a single-scan variant — one regexp_extract_all of
+    the 32-word+CJK union pattern, matches re-joined into a tiny hits
+    string, per-profile counts over that — was measured 44% SLOWER than
+    these five regexp_count scans at the 2 KB prefix (per-match string
+    allocation dominates; the decode traffic it saves is only 2 KB x 4).
+    Kept as scripts/kernel_ab.py for re-measurement if LANGID_CAP grows.
+
     Ties break by fixed profile order (deterministic). Docs where no
     profile reaches ``min_hits`` and no CJK chars appear -> 'und'
     (undetermined), the null-guard branch.

@@ -51,8 +51,53 @@ SCRUB_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+_PROFANITY_WORDS = ("damn", "hell", "crap", "frigging")
+
+
 def scrub_expr(text: Column | str) -> Column:
-    """Apply the scrub chain; null text stays null."""
+    """Apply the scrub chain; null text stays null.
+
+    Each pass (group) is gated on a cheap byte-level NO-OP detector over
+    the ORIGINAL text, so a clean document pays a couple of byte scans
+    instead of five regexp_replace passes (each of which, in Spark's
+    RegExpReplace, is a full UTF-8→UTF-16 decode + regex scan + rebuild
+    even when nothing matches — the dominant memory traffic of this
+    stage). A pass is skipped ONLY when its pattern provably cannot
+    match, so output stays byte-identical to the ungated chain:
+
+    - email requires '@'; phone/ssn/ipv4 each require a digit; the
+      profanity pass requires one of its words as a substring;
+    - gating on the ORIGINAL text is sound because no replacement token
+      (<EMAIL>/<PHONE>/<ID>/<IP>/<TOX>) contains '@', a digit, or a
+      profanity word, and no token can complete one across a splice
+      boundary (tokens are uppercase and '<'/'>'-delimited; the gated
+      patterns are lowercase/digit-only).
+
+    Only ONE branch of each F.when evaluates per row, so the nesting
+    costs nothing at runtime; the DuckDB oracle (scrub_sql) keeps the
+    plain five-pass nest — identical results, pinned byte-identical by
+    the tx5/cur3 oracle checks and the golden fixtures.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    rules = {name: (pat, repl) for name, pat, repl in SCRUB_RULES}
+
+    def rr(col: Column, name: str) -> Column:
+        pat, repl = rules[name]
+        return F.regexp_replace(col, pat, repl)
+
+    prof_gate = F.lit(False)
+    for w in _PROFANITY_WORDS:
+        prof_gate = prof_gate | c.contains(w)
+
+    t = F.when(c.contains("@"), rr(c, "email")).otherwise(c)
+    digit_chain = rr(rr(rr(t, "phone"), "ssn"), "ipv4")
+    t = F.when(c.rlike("[0-9]"), digit_chain).otherwise(t)
+    return F.when(prof_gate, rr(t, "profanity")).otherwise(t)
+
+
+def scrub_expr_ungated(text: Column | str) -> Column:
+    """The plain five-pass chain (reference semantics; used by the
+    parity tests to pin scrub_expr's gating as a pure optimization)."""
     c = F.col(text) if isinstance(text, str) else text
     for _name, pat, repl in SCRUB_RULES:
         c = F.regexp_replace(c, pat, repl)

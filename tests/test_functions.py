@@ -82,3 +82,35 @@ def test_scrub_three_engine_byte_parity(spark):
         py = scrub_python(s)
         dk = con.execute(f"select {scrub_sql('$t')}", {"t": s}).fetchone()[0]
         assert row.o == py == dk, s
+
+
+def test_scrub_gated_equals_ungated(spark):
+    """The r4 gated scrub (byte-level no-op detectors skipping regex
+    passes) must be byte-identical to the plain five-pass chain on
+    adversarial boundary cases AND on the full datagen corpus."""
+    from gemproc2caom2_spark.functions.scrub import scrub_expr_ungated
+    from gemproc2caom2_spark.sources.datagen import generate_corpus
+
+    edge = [
+        None,                           # null stays null through the gates
+        "",                             # empty
+        "dam user@x.com n",             # '@' gate without profanity
+        "damuser@x.comn",               # replacement splice: no 'damn' created
+        "he123-45-6789l",               # ssn splice: no 'hell' created
+        "damnation shellfish scrape",   # gate superset: words inside words
+        "1.2.3.4",                      # ipv4 with single-digit octets
+        "no trigger characters at all",
+        "digits 123 but no pii",
+        "<EMAIL> literal token damn",   # token already present + profanity
+    ]
+    df = spark.createDataFrame([(s,) for s in edge], "t string")
+    corpus = generate_corpus(spark, 120).select(F.col("text").alias("t"))
+    for frame in (df, corpus):
+        bad = (
+            frame.select(
+                scrub_expr("t").alias("a"), scrub_expr_ungated("t").alias("b")
+            )
+            .where("a IS DISTINCT FROM b")
+            .count()
+        )
+        assert bad == 0
