@@ -243,9 +243,15 @@ def run_incremental(
     rules: RuleConfig = DEFAULT_RULES,
     num_partitions: int | None = None,
     cross_run_dedup: bool = True,
+    dedup: bool = True,
 ) -> tuple[str, int]:
     """Process only not-yet-committed urls; commit results + keys + audit
-    atomically. Returns (run_id, n_processed)."""
+    atomically. Returns (run_id, n_processed).
+
+    ``dedup=False`` disables the within-run LSH stage (and with it the
+    cross-run bucket check, which keys off the bands it emits) — the
+    task_types/meta_visitors=[] analog for deployments that run dedup
+    as a separate periodic job."""
     run_id = run_id or uuid.uuid4().hex[:12]
     done = committed_keys(spark, out_dir)
     todo = input_df
@@ -264,7 +270,13 @@ def run_incremental(
             .drop("_uh")
         )
 
-    base = curate(todo, rules=rules, num_partitions=num_partitions, emit_bands=True)
+    base = curate(
+        todo,
+        rules=rules,
+        num_partitions=num_partitions,
+        emit_bands=True,
+        dedup=dedup,
+    )
     curated = base
 
     if cross_run_dedup and done is not None:

@@ -366,7 +366,7 @@ def dd5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemproc2caom2_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    return embedding_near_dup_pairs(emb, threshold=0.4, bits=6, tables=8)
+    return embedding_near_dup_pairs(emb, threshold=0.4, bits=6, tables=8, dim=64)
 
 
 @register("sim2_ann_lsh", _ann_oracle_sql())
@@ -377,7 +377,9 @@ def sim2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally asserted in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
     q = emb.where(F.col("vec_id").isin(0, 1, 2))
-    out = lsh_ann_topk(emb, q, k=5, bits=4, id_col="vec_id", vec_col="embedding")
+    out = lsh_ann_topk(
+        emb, q, k=5, bits=4, id_col="vec_id", vec_col="embedding", dim=64
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -1118,4 +1120,77 @@ def k3_preview_sideoutput(spark: SparkSession, sf_dir: str) -> DataFrame:
         preview_excerpt("text", 280).alias("preview"),
         preview_excerpt("text", 64).alias("thumbnail"),
         F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# ===========================================================================
+# checkpoint ledger + compaction, end to end (K5 / S1 / ST1 in one DAG)
+# ===========================================================================
+
+@register(
+    "k5_ledger_compaction",
+    _VERDICT_CTES
+    + """
+    SELECT doc_id, lang_pred,
+           coalesce(cheap, CASE WHEN perplexity > 60.0 THEN 'perplexity' END)
+             AS drop_reason,
+           (coalesce(cheap, CASE WHEN perplexity > 60.0 THEN 'perplexity' END)
+             IS NULL) AS keep,
+           perplexity
+    FROM p
+    """,
+)
+def k5_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 in driver context: the full snapshot-ledger lifecycle — two
+    incremental runs over disjoint halves of the corpus, a third resume
+    pass that must find nothing to do, then ``compact_runs`` merging the
+    snapshots (supersede protocol + retired-dir GC) — and the compacted
+    ledger must read back EXACTLY one full pass of the verdict chain.
+    Dedup is off so the halves are row-independent and the union is
+    SQL-expressible (cross-run near-dup + chained compaction semantics
+    are pytest-pinned in tests/test_checkpoint.py). Reference analog:
+    the todo/success/retry rollover, composable.py:126-135 and
+    tests/test_composable.py:126-135."""
+    import shutil
+
+    from gemproc2caom2_spark.plans.checkpoint import (
+        committed_results,
+        committed_run_ids,
+        compact_runs,
+        run_incremental,
+    )
+
+    root = "/tmp/gemproc_k5_" + _os.path.basename(sf_dir.rstrip("/"))
+    shutil.rmtree(root, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+
+    def to_input(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.lit("2025-07-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.encode(F.col("text"), "utf-8").alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        )
+
+    run_incremental(spark, to_input(docs.where(F.col("doc_id") % 2 == 0)),
+                    root, run_id="half-a", dedup=False)
+    run_incremental(spark, to_input(docs.where(F.col("doc_id") % 2 == 1)),
+                    root, run_id="half-b", dedup=False)
+    _, n_resume = run_incremental(spark, to_input(docs), root,
+                                  run_id="resume", dedup=False)
+    if n_resume != 0:
+        raise ValueError(f"resume run reprocessed {n_resume} rows")
+    compact_runs(spark, root)
+    live = committed_run_ids(spark, root)
+    if len(live) != 1:
+        raise ValueError(f"expected 1 live run after compaction, got {live}")
+    res = committed_results(spark, root)
+    return res.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "lang_pred",
+        "drop_reason",
+        "keep",
+        "perplexity",
     )
