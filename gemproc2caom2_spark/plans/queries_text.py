@@ -1194,3 +1194,41 @@ def k5_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         "perplexity",
     )
+
+
+# ===========================================================================
+# distributed LM training (the KenLM lmplz analog; P3/F5 training side)
+# ===========================================================================
+
+@register(
+    "tx6_bigram_lm_train",
+    """
+    WITH pairs AS (
+      SELECT unicode(p[1]) AS c1, unicode(p[2]) AS c2
+      FROM (
+        SELECT unnest(list_transform(range(1, length(t)),
+                      i -> [substring(t, i, 1), substring(t, i + 1, 1)])) AS p
+        FROM (SELECT lower(text) AS t FROM documents WHERE length(text) >= 2)
+      )
+    )
+    SELECT CAST(CASE WHEN c1 BETWEEN 32 AND 126 THEN c1 - 31 ELSE 0 END AS INT)
+             AS prev_idx,
+           CAST(CASE WHEN c2 BETWEEN 32 AND 126 THEN c2 - 31 ELSE 0 END AS INT)
+             AS cur_idx,
+           count(*)::BIGINT AS n
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def tx6_bigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed char-bigram LM training over the corpus — the KenLM
+    `lmplz` step of the quality-filter pipeline, run as a Spark job:
+    per-batch np.bincount folding, per-partition nonzero-cell emission
+    (<= V^2 cells per partition regardless of corpus size), groupBy-sum
+    reduce. The trained cells feed counts_to_logp/make_perplexity_udf
+    (round-trip + seed-corpus parity pinned in tests/test_functions.py).
+    Reference analog: building the keyword lookup tables from the
+    archive's own holdings, main_app.py:135-181."""
+    from gemproc2caom2_spark.functions.perplexity import train_bigram_counts
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return train_bigram_counts(d, text_col="text")
