@@ -1,0 +1,62 @@
+"""Corpus vocabulary / document-frequency statistics.
+
+The tokenizer-training side of an LLM data pipeline: BPE/unigram vocab
+construction starts from exactly this corpus-wide (token, tf, df) table,
+and IDF feeds retrieval-style quality weighting. Reference analog: the
+archive-wide keyword lookup tables built from holdings
+(/root/reference/gemProc2caom2/main_app.py:135-181).
+
+Scale shape: one explode + one groupBy — the canonical wordcount
+shuffle. tf uses map-side partial aggregation; df(token) is an exact
+distinct-doc count, which Spark executes as a two-phase aggregate
+((token, doc) pre-distinct, then count) — both key on the token, so a
+hot token ("the") is the skew bound. At 10^12 docs the pre-distinct
+first groupBy (token, doc) — a near-unique composite key that salts the
+hot token across partitions — keeps that bounded; Catalyst plans
+count(distinct) exactly this way (Expand + two-phase agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1000,
+) -> DataFrame:
+    """Top-``k`` corpus vocabulary: (token, tf, df, idf_r6).
+
+    Tokens are the whitespace tokens of the lowercased text (the same
+    tokenization as functions.text.words / token_count_ws). ``tf`` is
+    total occurrences, ``df`` the number of distinct documents
+    containing the token, ``idf_r6`` = round(ln(N / df), 6) with N the
+    number of documents that have at least one token. Deterministic
+    order: tf desc, then token asc; ties at the k-boundary resolve by
+    that order.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = (
+        df.where(F.col(text_col).isNotNull() & (t != ""))
+        .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
+    )
+    n_docs = toks.select(id_col).distinct().count()
+    out = (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct(id_col).alias("df"),
+        )
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf_r6"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )
+    return out

@@ -44,6 +44,7 @@ _FRAMES_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_frames.parquet")
 _RESIZE_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_resize.parquet")
 _DUP_FIXTURE = _os.path.join(_FIXTURE_DIR, "lsh_duplicates.parquet")
 _IVF_FIXTURE = _os.path.join(_FIXTURE_DIR, "ivf_centers.parquet")
+_QLR_FIXTURE = _os.path.join(_FIXTURE_DIR, "quality_lr_weights.parquet")
 
 
 def _perm_ab(i: int) -> tuple[int, int]:
@@ -1232,3 +1233,75 @@ def tx6_bigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     return train_bigram_counts(d, text_col="text")
+
+
+@register(
+    "tx7_vocab_idf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(lower(text)) <> ''
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+    SELECT token, count(*)::BIGINT AS tf,
+           count(DISTINCT doc_id)::BIGINT AS df,
+           round(ln(n_docs::DOUBLE / count(DISTINCT doc_id)), 6) AS idf_r6
+    FROM toks, n GROUP BY token, n_docs
+    ORDER BY tf DESC, token ASC LIMIT 1000
+    """,
+)
+def tx7_vocab_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies and IDF — the
+    tokenizer-training (BPE vocab) and retrieval-weighting input table,
+    one explode + one two-phase groupBy (see operators/vocab.py for the
+    skew analysis at 10^12 docs)."""
+    from gemproc2caom2_spark.operators.vocab import vocabulary
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return vocabulary(d, text_col="text", id_col="doc_id", k=1000)
+
+
+# ===========================================================================
+# model-based quality filtering (the fastText-supervised analog)
+# ===========================================================================
+
+def _tx8_oracle_sql() -> str:
+    from gemproc2caom2_spark.operators.classifier import feature_sql, logit_sql
+
+    logit = logit_sql(
+        "fx",
+        feature_sql("p.doc_len", "p.n_words", "p.symbol_ratio",
+                    "p.repeated_line_frac", "p.rare_char_ratio"),
+    )
+    return (
+        _VERDICT_CTES
+        + f"""
+    SELECT p.doc_id,
+           {logit} AS logit_r6,
+           ({logit} > 0) AS model_keep
+    FROM p CROSS JOIN read_parquet('{_QLR_FIXTURE}') fx
+    WHERE p.text IS NOT NULL AND p.doc_len > 0
+    """
+    )
+
+
+@register("tx8_quality_classifier", _tx8_oracle_sql())
+def tx8_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: the stored MLlib-trained logistic
+    weights (tests/gen_fixtures.py — rule-gate distillation, train_acc
+    1.0 on the datagen corpus) applied as a pure Column-expression
+    logit over the capped quality metrics. Train-store-probe protocol
+    like sim4/tx6; scoring is JVM-only (weights inline as literals, the
+    broadcast-rule-table pattern) and the oracle rebuilds the identical
+    left-associated logit chain in SQL from the same fixture."""
+    from gemproc2caom2_spark.operators.classifier import quality_logit_expr
+
+    w = spark.read.parquet(_QLR_FIXTURE).first().asDict()
+    d = (
+        load(spark, sf_dir, "documents", spread=True)
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", quality_struct("text").alias("_q"))
+        .select("doc_id", quality_logit_expr(F.col("_q"), w).alias("logit_r6"))
+    )
+    return d.withColumn("model_keep", F.col("logit_r6") > 0)
