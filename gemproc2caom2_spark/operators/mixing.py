@@ -1,0 +1,38 @@
+"""Dataset mixing — deterministic per-domain quota sampling.
+
+Training mixtures cap each source/domain's contribution (C4 caps hosts,
+Gopher re-weights subsets, Llama mixes by source proportion). The quota
+selector keeps the first ``quota`` documents per group under a
+DETERMINISTIC pseudo-random order (md5 of the doc id) so reruns,
+resumes and the SQL oracle all select the identical subset — the
+reference's todo-list determinism requirement applied to sampling.
+
+Scale shape: one row_number window per group. A window sorts each
+group on one task, so a hot domain is the straggler bound — for
+quota << group size the right production shape is this window AFTER a
+cheap pre-filter (e.g. keep=true only), which this operator composes
+with; the alternative min_by-array fold materializes quota rows per
+group in one struct and loses to the window beyond small quotas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def domain_quota(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 100,
+) -> DataFrame:
+    """Keep at most ``quota`` docs per ``group_col``, selected by the
+    deterministic md5-of-id order (uniform over insertion order,
+    engine-independent). Adds ``sample_rank`` (1-based within group)."""
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota)
+    )

@@ -1305,3 +1305,74 @@ def tx8_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", quality_logit_expr(F.col("_q"), w).alias("logit_r6"))
     )
     return d.withColumn("model_keep", F.col("logit_r6") > 0)
+
+
+# ===========================================================================
+# benchmark decontamination + dataset mixing
+# ===========================================================================
+
+@register(
+    "dec1_decontamination",
+    r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+                            w -> lower(w)) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 6),
+                    i -> array_to_string(w[i:i+7], ' '))) AS s
+      FROM ws
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.text IS NOT NULL
+    """,
+)
+def dec1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any 8-word shingle
+    with the held-out set (here the deterministic doc_id%50 slice stands
+    in for an external benchmark table). Broadcast the benchmark's
+    distinct shingle hashes, semi-join the corpus's exploded shingles,
+    fold back a thin hit set (operators/decontaminate.py). Reference
+    analog: known-bad suppression, config.yml:58-62 — generalized from
+    ids to content n-grams."""
+    from gemproc2caom2_spark.operators.decontaminate import mark_contaminated
+
+    d = load(spark, sf_dir, "documents", spread=True).where(
+        F.col("text").isNotNull()
+    )
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    return mark_contaminated(d, bench, text_col="text", id_col="doc_id", k=8).select(
+        "doc_id", "contaminated"
+    )
+
+
+@register(
+    "mix1_domain_quota",
+    """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR)) AS INT)
+               AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 40
+    """,
+)
+def mix1_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: deterministic per-source quota sampling (at most
+    40 docs per source, selected by md5-of-id order so reruns and the
+    oracle pick the identical subset — operators/mixing.py). The
+    training-mixture counterpart of the reference's per-collection
+    todo lists (config.yml:64-73)."""
+    from gemproc2caom2_spark.operators.mixing import domain_quota
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return domain_quota(d, group_col="source", id_col="doc_id", quota=40).select(
+        "doc_id", "source", "sample_rank"
+    )

@@ -1,0 +1,55 @@
+"""Decontamination + domain-quota operators: edge semantics and
+determinism (the driver queries dec1/mix1 pin oracle parity; these pin
+the operator contracts directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gemproc2caom2_spark.operators.decontaminate import mark_contaminated
+from gemproc2caom2_spark.operators.mixing import domain_quota
+
+WORDS8 = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_mark_contaminated_semantics(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro {WORDS8} outro words here"),       # shares the 8-gram
+            (2, "completely different text with eight plus words in it"),
+            (3, "short doc"),                               # < 8 words: never
+            (4, None),                                      # null: excluded
+            (5, WORDS8.upper()),                            # case-folds to hit
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark prefix {WORDS8} benchmark suffix")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.contaminated
+        for r in mark_contaminated(
+            corpus.where(F.col("text").isNotNull()), bench, k=8
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 5: True}
+
+
+def test_domain_quota_deterministic_and_capped(spark):
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def pick(frame):
+        out = domain_quota(frame, quota=7).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+        return {k: sorted(v) for k, v in per.items()}
+
+    a = pick(df.repartition(1))
+    b = pick(df.repartition(11))
+    assert a == b
+    for src, picks in a.items():
+        assert len(picks) == 7
+        assert [r for r, _ in picks] == list(range(1, 8)), src
