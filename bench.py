@@ -54,6 +54,11 @@ HEADLINE = [
     "mm2_media_features",
     "tx2_quality_metrics",
     "tx5_scrub",
+    "tx6_bigram_lm_train",
+    "tx7_vocab_idf",
+    "tx8_quality_classifier",
+    "dec1_decontamination",
+    "mix1_domain_quota",
     "j5_lineage_fold",
     "cur3_flagship_oracle",
     "cur1_flagship_pipeline",
