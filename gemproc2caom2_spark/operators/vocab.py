@@ -39,11 +39,12 @@ def vocabulary(
     that order.
     """
     t = F.trim(F.lower(F.col(text_col)))
-    toks = (
-        df.where(F.col(text_col).isNotNull() & (t != ""))
-        .select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
-    )
-    n_docs = toks.select(id_col).distinct().count()
+    base = df.where(F.col(text_col).isNotNull() & (t != ""))
+    toks = base.select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
+    # N from the PRE-explode frame: distinct over one thin id column,
+    # not over the token-multiplied frame (identical value — every doc
+    # passing the filter contributes >= 1 token)
+    n_docs = base.select(id_col).distinct().count()
     out = (
         toks.groupBy("token")
         .agg(
