@@ -459,3 +459,69 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("key1", "key2", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate-line removal (CCNet/RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove lines that repeat ACROSS the corpus: a trimmed non-empty
+    line appearing in >= ``min_df`` distinct documents is boilerplate
+    (nav bars, cookie banners, footers) and is dropped from every doc —
+    the cross-document counterpart of the within-doc repeated_line_frac
+    gate (CCNet/RefinedWeb-style line dedup). Reference analog: the
+    shared-calibration-chunk suppression, main_app.py:221-224.
+
+    Output: (id_col, out_col) — the doc rebuilt from its surviving
+    lines in original order, joined with newlines; a doc whose lines
+    are ALL boilerplate (or that had no non-empty lines) yields ''.
+    Line semantics are functions.text.lines (trimmed, empties dropped),
+    so the rebuilt text is normalized to that form.
+
+    Scale shape, two passes over the exploded lines:
+    1. line -> distinct-doc frequency, keyed on the 60-bit line hash
+       (strings never shuffle); Catalyst's two-phase count_distinct
+       pre-distincts (hash, doc) map-side, bounding the hot-line skew.
+    2. posexplode + anti-join against the boilerplate hash set (a thin
+       frame — broadcast when small, AQE otherwise) + ordered fold-back
+       per doc (groupBy collect of (pos, line) structs, sorted — bounded
+       by lines-per-doc, never corpus-wide).
+    """
+    from gemproc2caom2_spark.functions.hashing import hex15_hash
+    from gemproc2caom2_spark.functions.text import lines as lines_expr
+
+    base = df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
+    ln = base.select(
+        F.col(id_col),
+        F.posexplode(lines_expr(F.col(text_col))).alias("_pos", "_line"),
+    ).withColumn("_lh", hex15_hash("_line"))
+    boiler = (
+        ln.groupBy("_lh")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_lh")
+    )
+    rebuilt = (
+        ln.join(boiler, on="_lh", how="left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda x: x["_line"],
+                ),
+                "\n",
+            ).alias(out_col)
+        )
+    )
+    return base.select(id_col).join(rebuilt, on=id_col, how="left").select(
+        id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
+    )

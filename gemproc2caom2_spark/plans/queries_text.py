@@ -1376,3 +1376,44 @@ def mix1_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quota(d, group_col="source", id_col="doc_id", quota=40).select(
         "doc_id", "source", "sample_rank"
     )
+
+
+@register(
+    "dd6_boilerplate_lines",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> x <> '') AS ls
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ln AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS pos
+      FROM base
+    ),
+    boiler AS (
+      SELECT line FROM ln GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    rebuilt AS (
+      SELECT ln.doc_id,
+             string_agg(ln.line, chr(10) ORDER BY ln.pos) AS clean_text
+      FROM ln ANTI JOIN boiler USING (line)
+      GROUP BY ln.doc_id
+    )
+    SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dd6_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (CCNet/RefinedWeb boilerplate removal):
+    lines appearing in >= 2 distinct docs are dropped from every doc and
+    the text is rebuilt in order (operators/dedup.py
+    remove_boilerplate_lines — hashes on the shuffle, two-phase distinct
+    agg, per-doc bounded fold-back)."""
+    from gemproc2caom2_spark.operators.dedup import remove_boilerplate_lines
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return remove_boilerplate_lines(d, text_col="text", id_col="doc_id", min_df=2)

@@ -165,3 +165,32 @@ def test_jaccard_pairs(spark, docs):
     assert (1, 2) in got and got[(1, 2)] == 1.0
     assert (1, 3) in got and 0.4 <= got[(1, 3)] < 1.0
     assert all(k in ((1, 2), (1, 3), (2, 3)) for k in got)
+
+
+def test_remove_boilerplate_lines(spark):
+    """Cross-doc repeated lines vanish, in-order rebuild, all-boiler ->
+    empty string, within-doc-only repeats survive (df counts DISTINCT
+    docs)."""
+    from gemproc2caom2_spark.operators.dedup import remove_boilerplate_lines
+
+    footer = "copyright example corp all rights reserved"
+    rows = [
+        (1, f"unique alpha line\n{footer}\nunique beta line"),
+        (2, f"{footer}\nanother unique thought"),
+        (3, footer),                                # all boilerplate -> ''
+        (4, "solo line\nsolo line\nsolo line"),     # within-doc only: kept
+        (5, None),                                  # null text: excluded
+        (6, "   \n  \n"),                           # no non-empty lines -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate_lines(df, min_df=2).collect()
+    }
+    assert out == {
+        1: "unique alpha line\nunique beta line",
+        2: "another unique thought",
+        3: "",
+        4: "solo line\nsolo line\nsolo line",
+        6: "",
+    }
