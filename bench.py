@@ -49,6 +49,7 @@ HEADLINE = [
     "dd2_minhash_signature",
     "dd4_ngram_jaccard_pairs",
     "dd5_embedding_near_dup",
+    "dd6_boilerplate_lines",
     "sim1_cosine_topk",
     "sim3_ivf_topk",
     "mm2_media_features",
