@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# toxicity placeholder lexicon — single source of truth for BOTH the
+# profanity pattern and scrub_expr's byte-level gate (a divergence would
+# silently skip the pass for words only one of them knows)
+_PROFANITY_WORDS = ("damn", "hell", "crap", "frigging")
+
 # (name, pattern, replacement) — applied strictly in order.
 SCRUB_RULES: list[tuple[str, str, str]] = [
     (
@@ -43,15 +48,11 @@ SCRUB_RULES: list[tuple[str, str, str]] = [
         "<IP>",
     ),
     (
-        # toxicity placeholder lexicon — deterministic, word-boundary
         "profanity",
-        r"\b(?:damn|hell|crap|frigging)\b",
+        r"\b(?:" + "|".join(_PROFANITY_WORDS) + r")\b",
         "<TOX>",
     ),
 ]
-
-
-_PROFANITY_WORDS = ("damn", "hell", "crap", "frigging")
 
 
 def scrub_expr(text: Column | str) -> Column:

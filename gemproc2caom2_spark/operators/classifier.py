@@ -117,12 +117,15 @@ def train_quality_classifier(
         standardization=True,
     )
     model = lr.fit(assembled)
-    acc = (
+    # one post-fit pass: accuracy and row count in a single aggregation
+    # (transform re-evaluates the feature exprs; don't scan twice more)
+    acc_row = (
         model.transform(assembled)
-        .select(
-            F.avg((F.col("prediction") == F.col("label")).cast("double"))
+        .agg(
+            F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("a"),
+            F.count("*").alias("n"),
         )
-        .first()[0]
+        .first()
     )
     spark = df.sparkSession
     row = {
@@ -131,8 +134,8 @@ def train_quality_classifier(
             f"w_{n}": float(c)
             for n, c in zip(FEATURE_NAMES, model.coefficients)
         },
-        "n_train": assembled.count(),
-        "train_acc": float(acc),
+        "n_train": int(acc_row.n),
+        "train_acc": float(acc_row.a),
     }
     return spark.createDataFrame([row])
 

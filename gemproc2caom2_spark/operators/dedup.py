@@ -495,6 +495,8 @@ def remove_boilerplate_lines(
        per doc (groupBy collect of (pos, line) structs, sorted — bounded
        by lines-per-doc, never corpus-wide).
     """
+    from pyspark import StorageLevel
+
     from gemproc2caom2_spark.functions.hashing import hex15_hash
     from gemproc2caom2_spark.functions.text import lines as lines_expr
 
@@ -503,6 +505,13 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode(lines_expr(F.col(text_col))).alias("_pos", "_line"),
     ).withColumn("_lh", hex15_hash("_line"))
+    # the plan forks on ln (boilerplate aggregate + anti-join probe side)
+    # — same shape as curate()'s dedup fork: without an EAGER barrier the
+    # scan + explode + hash recompute once per branch, and AQE's
+    # concurrent stage launch races an un-materialized cache (measured
+    # 3x wall there). Caller releases via unpersist_boilerplate_cache.
+    ln = ln.persist(StorageLevel.MEMORY_AND_DISK)
+    ln.count()
     boiler = (
         ln.groupBy("_lh")
         .agg(F.count_distinct(id_col).alias("_df"))
@@ -522,6 +531,17 @@ def remove_boilerplate_lines(
             ).alias(out_col)
         )
     )
-    return base.select(id_col).join(rebuilt, on=id_col, how="left").select(
+    out = base.select(id_col).join(rebuilt, on=id_col, how="left").select(
         id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
     )
+    out._lines_persisted = ln  # type: ignore[attr-defined]
+    return out
+
+
+def unpersist_boilerplate_cache(df: DataFrame) -> None:
+    """Release the exploded-lines barrier cache attached to a
+    remove_boilerplate_lines result (the unpersist_curate_cache
+    convention — long-lived sessions must not accumulate it)."""
+    p = getattr(df, "_lines_persisted", None)
+    if p is not None:
+        p.unpersist()

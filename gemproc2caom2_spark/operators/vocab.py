@@ -41,21 +41,25 @@ def vocabulary(
     t = F.trim(F.lower(F.col(text_col)))
     base = df.where(F.col(text_col).isNotNull() & (t != ""))
     toks = base.select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
-    # N from the PRE-explode frame: distinct over one thin id column,
-    # not over the token-multiplied frame (identical value — every doc
-    # passing the filter contributes >= 1 token)
-    n_docs = base.select(id_col).distinct().count()
+    # N from the PRE-explode frame, as a lazy broadcast scalar: distinct
+    # over one thin id column (identical value — every doc passing the
+    # filter contributes >= 1 token), cross-joined so composing this
+    # operator stays a single lazy plan with no build-time action
+    n_docs = base.select(
+        F.count_distinct(id_col).cast("double").alias("_n_docs")
+    )
     out = (
         toks.groupBy("token")
         .agg(
             F.count("*").alias("tf"),
             F.count_distinct(id_col).alias("df"),
         )
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "token",
             "tf",
             "df",
-            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf_r6"),
+            F.round(F.log(F.col("_n_docs") / F.col("df")), 6).alias("idf_r6"),
         )
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(k)

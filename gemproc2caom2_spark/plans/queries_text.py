@@ -513,9 +513,12 @@ def sim4_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the Iceberg table's snapshot id; the content fingerprint (one
     driver-side DuckDB pass over the embeddings column at model-LOOKUP
     time only, never per row) is the sandbox stand-in for that id.
-    Falls back to in-session training for a corpus with no stored model
-    (e.g. a fresh sf dir) so the operator still runs everywhere."""
-    from gemproc2caom2_spark.operators.similarity import ivf_topk, train_ivf_centroids
+    A corpus with NO stored model raises a descriptive error (run
+    tests/gen_fixtures.py to train+store): silently retraining
+    in-session would return rows the fixture-keyed oracle cannot see —
+    a guaranteed cross-engine mismatch masquerading as a wrong answer
+    instead of the real problem (missing model registry entry)."""
+    from gemproc2caom2_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
     centroids: dict[int, list[float]] | None = None
@@ -536,7 +539,11 @@ def sim4_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rows:
             centroids = {int(r.cid): [float(x) for x in r.cvec] for r in rows}
     if centroids is None:
-        centroids = train_ivf_centroids(emb, k=16, seed=42)
+        raise ValueError(
+            f"no stored IVF model for corpus {sf_dir!r} in {_IVF_FIXTURE!r}; "
+            "run `python tests/gen_fixtures.py` to train and store one "
+            "(sim3_ivf_topk is the untrained-quantizer variant)"
+        )
     q = emb.where(F.col("vec_id").isin(0, 1, 2))
     out = ivf_topk(
         emb, q, k=5, n_centroids=len(centroids), n_probe=4, centroids=centroids

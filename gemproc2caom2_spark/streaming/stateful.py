@@ -63,13 +63,15 @@ def first_occurrence_stream(
                 if not len(chunk):
                     continue
                 if ordered:
-                    # nsmallest(keep='first') == stable-sort + head(1),
-                    # except it drops all-null chunks — fall back to the
-                    # chunk head so a null-ordered row can still win an
-                    # otherwise-empty group
-                    cand = chunk.nsmallest(1, order_col)
-                    if not len(cand):
-                        cand = chunk.head(1)
+                    # first index label of the chunk minimum (idxmin ==
+                    # stable-sort + head(1), and unlike nsmallest it
+                    # works for ANY orderable dtype — strings arrive as
+                    # object after Arrow conversion); nulls are skipped,
+                    # all-null chunks fall back to the chunk head so a
+                    # null-ordered row can still win an otherwise-empty
+                    # group
+                    nn = chunk[order_col].dropna()
+                    cand = chunk.loc[[nn.idxmin()]] if len(nn) else chunk.head(1)
                 else:
                     cand = chunk.head(1)
                 if best is None:
@@ -127,14 +129,28 @@ def near_dup_stream(
     bucket group is a single LSH hash bucket within ONE micro-batch —
     band index is baked into the bucket value, so this is bounded by
     near-identical docs per batch, not corpus boilerplate at large.
+
+    Docs with a null or empty ``bands_col`` (no signature — e.g. docs a
+    cheap gate already dropped) are NOT dedup candidates but must not
+    vanish from the stream: they pass through with a null ``_bucket``
+    and ``_bucket_dup=false``, so ``fold_bucket_verdicts`` keeps them
+    with is_duplicate=false — the same keep-with-false contract as the
+    batch ``mark_lsh_duplicates``.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType, StructField, StructType
 
+    has_bands = F.col(bands_col).isNotNull() & (F.size(bands_col) > 0)
     exploded = (
-        src.where(F.col(bands_col).isNotNull())
+        src.where(has_bands)
         .withColumn("_bucket", F.explode(bands_col))
         .drop(bands_col)
+    )
+    passthrough = (
+        src.where(~F.coalesce(has_bands, F.lit(False)))
+        .drop(bands_col)
+        .withColumn("_bucket", F.lit(None).cast("bigint"))
+        .withColumn("_bucket_dup", F.lit(False))
     )
     out_schema = StructType(
         exploded.schema.fields + [StructField("_bucket_dup", BooleanType())]
@@ -161,13 +177,14 @@ def near_dup_stream(
                 yield out
             state.update((True,))
 
-    return exploded.groupBy("_bucket").applyInPandasWithState(
+    flagged = exploded.groupBy("_bucket").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType="seen boolean",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    return flagged.unionByName(passthrough.select(*[f.name for f in out_schema.fields]))
 
 
 def fold_bucket_verdicts(batch_df: DataFrame, key_col: str = "url_hash") -> DataFrame:

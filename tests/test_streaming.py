@@ -193,6 +193,7 @@ def test_near_dup_stream_cross_batch(spark, tmp_path):
             ("https://x/c", t_a_near),  # cross-batch near-dup of a
             ("https://x/d", t_d),
             ("https://x/e", t_d_near),  # within-batch near-dup pair with d
+            ("https://x/f", None),      # no signature: passthrough, kept
         ]
     )
 
@@ -228,6 +229,8 @@ def test_near_dup_stream_cross_batch(spark, tmp_path):
     assert verdicts["https://x/c"] is True, "cross-batch near-dup must drop"
     # within-batch pair: exactly the larger-hashed of d/e is flagged
     assert verdicts["https://x/d"] != verdicts["https://x/e"]
+    # a doc with no signature (null bands) must pass through, not vanish
+    assert verdicts["https://x/f"] is False
 
 
 def test_windowed_quality_stream(spark, tmp_path):
@@ -251,3 +254,42 @@ def test_windowed_quality_stream(spark, tmp_path):
     assert sum(by_verdict.values()) == 45
     for expected in ("keep", "min_length", "max_length", "langid", "empty"):
         assert expected in by_verdict, by_verdict
+
+
+def test_first_occurrence_string_order_col(spark, tmp_path):
+    """order_col folding must work for ANY orderable dtype — strings
+    arrive as object dtype after Arrow conversion (nsmallest would
+    raise); earliest-by-string wins, nulls lose to any value."""
+    from gemproc2caom2_spark.streaming.stateful import first_occurrence_stream
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://x/k"] * 4 + ["https://x/m"],
+            "warc_ts": [pd.Timestamp("2025-01-01")] * 5,
+            "html": [None] * 5,
+            "text": ["delta", None, "alpha", "beta", "only"],
+            "lang": ["en"] * 5,
+        }
+    )
+    spark.createDataFrame(pdf, schema=INPUT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+    src = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    q = (
+        first_occurrence_stream(src, key_col="url_hash", order_col="text")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("str_order")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.url: r.text for r in spark.sql("SELECT url, text FROM str_order").collect()}
+    assert rows == {"https://x/k": "alpha", "https://x/m": "only"}
