@@ -36,3 +36,44 @@ def domain_quota(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= quota)
     )
+
+
+def sequence_packing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences — the
+    pretraining 'pack short docs together' step, doc boundaries
+    respected: within each group (shard), docs are taken in the
+    deterministic md5-of-id order and ``seq_id`` is the exclusive
+    prefix-sum of token counts divided by the budget, so consecutive
+    docs fill a sequence until the budget spills into the next. A doc
+    longer than the budget claims its span of sequence ids alone (its
+    successors restart after it). Returns (id, group, n_tokens, seq_id).
+
+    Deterministic by construction — reruns, resumes and the SQL oracle
+    assign identical sequences (the todo-list determinism requirement
+    applied to batch assembly). Scale shape: one running-sum window per
+    group — groups are shards you choose (host, source, bucket-of-hash),
+    so per-group volume is bounded by the sharding, exactly the
+    domain_quota note above.
+    """
+    tok = F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(0)
+    ).cast("long")
+    order = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(tok).over(w), F.lit(0).cast("long"))
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(group_col),
+        tok.alias("n_tokens"),
+        F.floor(cum_excl / budget).cast("bigint").alias("seq_id"),
+    )

@@ -1424,3 +1424,39 @@ def dd6_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     return remove_boilerplate_lines(d, text_col="text", id_col="doc_id", min_df=2)
+
+
+@register(
+    "pack1_sequence_packing",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY md5(doc_id::VARCHAR)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(ce / 512.0) AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: docs fill fixed 512-token-budget
+    sequences per source shard in deterministic md5-of-id order
+    (operators/mixing.sequence_packing — exclusive prefix-sum window,
+    doc boundaries respected, reruns and the oracle assign identical
+    sequences)."""
+    from gemproc2caom2_spark.operators.mixing import sequence_packing
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return sequence_packing(
+        d, text_col="text", id_col="doc_id", group_col="source", budget=512
+    )

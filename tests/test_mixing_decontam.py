@@ -53,3 +53,31 @@ def test_domain_quota_deterministic_and_capped(spark):
     for src, picks in a.items():
         assert len(picks) == 7
         assert [r for r, _ in picks] == list(range(1, 8)), src
+
+
+def test_sequence_packing_budget_and_determinism(spark):
+    """Each sequence's token total stays within budget + one overflow
+    doc; assignment is contiguous per group and partition-invariant."""
+    from gemproc2caom2_spark.operators.mixing import sequence_packing
+
+    rows = [
+        (i, "src" + str(i % 2), " ".join(["tok"] * (5 + (i * 7) % 40)))
+        for i in range(60)
+    ] + [(100, "src0", " ".join(["tok"] * 300))]   # over-budget doc
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    def packed(frame):
+        return sorted(
+            (r.doc_id, r.source, r.n_tokens, r.seq_id)
+            for r in sequence_packing(frame, budget=100).collect()
+        )
+
+    a = packed(df.repartition(1))
+    assert a == packed(df.repartition(9))
+
+    per_seq: dict = {}
+    for _, src, n, seq in a:
+        per_seq.setdefault((src, seq), []).append(n)
+    for (src, seq), toks in per_seq.items():
+        # a sequence may only exceed the budget via its LAST-started doc
+        assert sum(toks) - max(toks) < 100, (src, seq, toks)
