@@ -66,6 +66,21 @@ HEADLINE = [
 ]
 
 
+def wait_for_idle(note: str = "") -> list[float]:
+    """Block until the host 1-min load drops below SPARK_GRAFT_IDLE_LOAD
+    (default 4.5; idle sits at ~2-3 on this box, co-tenant bursts at
+    6-10+), up to SPARK_GRAFT_IDLE_WAIT seconds. Returns
+    [load_at_launch, seconds_waited] for the artifact."""
+    idle_load = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "4.5"))
+    cap = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "240"))
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load > idle_load and time.monotonic() - t0 < cap:
+        time.sleep(20)
+        load = os.getloadavg()[0]
+    return [round(load, 2), round(time.monotonic() - t0, 1)]
+
+
 def _consume(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
@@ -226,17 +241,7 @@ def run_scaling() -> dict:
     # for the load to drop before each pinned invocation is what a human
     # benchmarker does; the wait time and the load at launch are recorded
     # in the JSON so the artifact shows whether the gate gave up.
-    idle_load = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "4.5"))
-    idle_wait_cap = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "240"))
     gate_log: list[list[float]] = []  # [load_at_launch, waited_s] per invocation
-
-    def _wait_for_idle() -> None:
-        t0 = time.monotonic()
-        load = os.getloadavg()[0]
-        while load > idle_load and time.monotonic() - t0 < idle_wait_cap:
-            time.sleep(20)
-            load = os.getloadavg()[0]
-        gate_log.append([round(load, 2), round(time.monotonic() - t0, 1)])
 
     def invoke(cores: int) -> dict:
         # CPU-pin the whole level process tree to exactly `cores` CPUs.
@@ -248,7 +253,7 @@ def run_scaling() -> dict:
         # makes each level a faithful N-core executor container.
         import shutil
 
-        _wait_for_idle()
+        gate_log.append(wait_for_idle())
         cmd = [sys.executable, os.path.abspath(__file__), "--scale-level",
                str(cores), str(reps)]
         if shutil.which("taskset"):
@@ -319,6 +324,7 @@ def main() -> None:
     from gemproc2caom2_spark.session import build_session
 
     t_all = time.monotonic()
+    headline_gate = wait_for_idle()
     spark = build_session(
         app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS,
         driver_memory=os.environ.get("SPARK_GRAFT_MEM", "32g"),
@@ -338,6 +344,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_reps": headline_reps,
+                "headline_idle_gate": headline_gate,
                 "queries_spread": {
                     n: round(max(t) / min(t), 2) for n, t in headline_reps.items()
                 },
