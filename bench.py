@@ -66,18 +66,33 @@ HEADLINE = [
 ]
 
 
-def wait_for_idle(note: str = "") -> list[float]:
-    """Block until the host 1-min load drops below SPARK_GRAFT_IDLE_LOAD
+def wait_for_idle(self_load: float = 0.0, self_end: float | None = None) -> list[float]:
+    """Block until the host 1-min load — minus the exponential residue
+    of OUR OWN just-finished run (load avg decays with a ~60 s time
+    constant, so the previous pinned invocation's cores read as a fake
+    burst for the next minute) — drops below SPARK_GRAFT_IDLE_LOAD
     (default 4.5; idle sits at ~2-3 on this box, co-tenant bursts at
     6-10+), up to SPARK_GRAFT_IDLE_WAIT seconds. Returns
-    [load_at_launch, seconds_waited] for the artifact."""
+    [adjusted_load_at_launch, seconds_waited] for the artifact."""
+    import math
+
     idle_load = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "4.5"))
     cap = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "240"))
     t0 = time.monotonic()
-    load = os.getloadavg()[0]
-    while load > idle_load and time.monotonic() - t0 < cap:
-        time.sleep(20)
+
+    def adjusted() -> float:
         load = os.getloadavg()[0]
+        if self_end is not None:
+            load -= self_load * math.exp(-(time.monotonic() - self_end) / 60.0)
+        return load
+
+    load = adjusted()
+    while load > idle_load:
+        remaining = cap - (time.monotonic() - t0)
+        if remaining <= 0:
+            break
+        time.sleep(min(20.0, remaining))
+        load = adjusted()
     return [round(load, 2), round(time.monotonic() - t0, 1)]
 
 
@@ -241,7 +256,12 @@ def run_scaling() -> dict:
     # for the load to drop before each pinned invocation is what a human
     # benchmarker does; the wait time and the load at launch are recorded
     # in the JSON so the artifact shows whether the gate gave up.
-    gate_log: list[list[float]] = []  # [load_at_launch, waited_s] per invocation
+    # [cores, adjusted_load_at_launch, waited_s] per invocation; the
+    # previous invocation's core count + end time feed the self-load
+    # decay correction so the gate never mistakes our own just-released
+    # load for a co-tenant burst
+    gate_log: list[list[float]] = []
+    prev_run: list[float] = [0.0, 0.0]  # [cores, end_monotonic]
 
     def invoke(cores: int) -> dict:
         # CPU-pin the whole level process tree to exactly `cores` CPUs.
@@ -253,7 +273,11 @@ def run_scaling() -> dict:
         # makes each level a faithful N-core executor container.
         import shutil
 
-        gate_log.append(wait_for_idle())
+        gate = wait_for_idle(
+            self_load=prev_run[0],
+            self_end=prev_run[1] if prev_run[0] else None,
+        )
+        gate_log.append([float(cores)] + gate)
         cmd = [sys.executable, os.path.abspath(__file__), "--scale-level",
                str(cores), str(reps)]
         if shutil.which("taskset"):
@@ -265,6 +289,7 @@ def run_scaling() -> dict:
         )
         if proc.returncode != 0:
             raise RuntimeError(f"scale level {cores} failed: {proc.stderr[-2000:]}")
+        prev_run[0], prev_run[1] = float(cores), time.monotonic()
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     all_reps: dict[int, list[float]] = {low_n: [], high_n: []}
@@ -313,9 +338,10 @@ def run_scaling() -> dict:
         "reps_high": all_reps[high_n],
         "spread_high": round(max(all_reps[high_n]) / sec_high, 2),
         "scaling_efficiency": round(efficiency(), 3),
-        # [load_at_launch, seconds_waited] per invocation: load still
-        # above SPARK_GRAFT_IDLE_LOAD after a full wait means the gate
-        # gave up and that invocation ran under a co-tenant burst
+        # [cores, adjusted_load_at_launch, seconds_waited] per
+        # invocation: load still above SPARK_GRAFT_IDLE_LOAD after a
+        # full wait means the gate gave up and that invocation ran
+        # under a co-tenant burst (self-load decay already subtracted)
         "idle_gate": gate_log,
     }
 

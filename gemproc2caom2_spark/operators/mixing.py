@@ -45,14 +45,17 @@ def sequence_packing(
     group_col: str = "source",
     budget: int = 2048,
 ) -> DataFrame:
-    """Assign documents to fixed-token-budget training sequences — the
+    """Assign documents to token-budget training sequences — the
     pretraining 'pack short docs together' step, doc boundaries
     respected: within each group (shard), docs are taken in the
-    deterministic md5-of-id order and ``seq_id`` is the exclusive
-    prefix-sum of token counts divided by the budget, so consecutive
-    docs fill a sequence until the budget spills into the next. A doc
-    longer than the budget claims its span of sequence ids alone (its
-    successors restart after it). Returns (id, group, n_tokens, seq_id).
+    deterministic md5-of-id order and ``seq_id`` is the budget-window
+    index of the doc's START position in the group's concatenated token
+    stream (exclusive prefix-sum of token counts, integer-divided by
+    the budget). Consequences a consumer must size for: docs sharing a
+    seq_id total at most budget-1 tokens PLUS the full length of the
+    window's last-started doc (which may itself exceed the budget and
+    span windows whose ids then hold no other docs). Returns
+    (id, group, n_tokens, seq_id).
 
     Deterministic by construction — reruns, resumes and the SQL oracle
     assign identical sequences (the todo-list determinism requirement
@@ -61,9 +64,9 @@ def sequence_packing(
     so per-group volume is bounded by the sharding, exactly the
     domain_quota note above.
     """
-    tok = F.coalesce(
-        F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(0)
-    ).cast("long")
+    from gemproc2caom2_spark.functions.text import token_count_ws
+
+    tok = token_count_ws(F.col(text_col))
     order = F.md5(F.col(id_col).cast("string"))
     w = (
         Window.partitionBy(group_col)

@@ -583,8 +583,7 @@ def tx1_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT doc_id,
            length(text)::BIGINT AS doc_len,
-           CASE WHEN trim(t) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(t), '\\s+')) END::BIGINT AS n_words,
+           coalesce(length(regexp_extract_all(t, '\\S+')), 0)::BIGINT AS n_words,
            round(length(regexp_extract_all(t, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
                  / length(t), 6) AS symbol_ratio,
            round(length(regexp_extract_all(lower(t), '[^a-z \\.,;:!?''\\n-]'))
@@ -622,8 +621,7 @@ def tx2_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx3_token_counts",
     f"""
     SELECT source,
-           sum(CASE WHEN trim(text) = '' THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS ws_tokens,
+           sum(coalesce(length(regexp_extract_all(text, '\\S+')), 0))::BIGINT AS ws_tokens,
            sum(length(regexp_extract_all(text,
                '[A-Za-z]+(?:''[A-Za-z]+)?|[0-9]+|[^\\sA-Za-z0-9]')))::BIGINT AS bpeish_tokens,
            count(*)::BIGINT AS n_docs
@@ -821,8 +819,7 @@ _Q_LINES = (
              length(text) AS doc_len,
              -- n_words / symbol_ratio over the ANALYSIS_CAP=16384 prefix,
              -- mirroring heuristics.quality_struct; doc_len stays exact
-             CASE WHEN trim(substring(text, 1, 16384)) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(substring(text, 1, 16384)), '\\s+')) END AS n_words,
+             coalesce(length(regexp_extract_all(substring(text, 1, 16384), '\\S+')), 0) AS n_words,
              length(regexp_extract_all(substring(text, 1, 16384), '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
                / nullif(length(substring(text, 1, 16384)), 0) AS symbol_ratio,
              {langid_sql('text')} AS lang_pred
@@ -897,8 +894,7 @@ _VERDICT_CTES = f"""
     WITH m AS (
       SELECT doc_id, text, source,
              length(text) AS doc_len,
-             CASE WHEN trim({_T16}) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim({_T16}), '\\s+')) END AS n_words,
+             coalesce(length(regexp_extract_all({_T16}, '\\S+')), 0) AS n_words,
              length(regexp_extract_all({_T16}, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
                / nullif(length({_T16}), 0) AS symbol_ratio,
              length(regexp_extract_all(lower({_T16}), '[^a-z \\.,;:!?''\\n-]'))
@@ -1038,8 +1034,7 @@ def cur1_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              (doc_id % 10 = 0) AS rejected,
              length(text) AS doc_len,
-             CASE WHEN trim({_T16}) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim({_T16}), '\\s+')) END AS n_words,
+             coalesce(length(regexp_extract_all({_T16}, '\\S+')), 0) AS n_words,
              length(regexp_extract_all({_T16}, '[^A-Za-z0-9_ \t\n\x0B\f\r.,;:!?''"()\\-]'))
                / nullif(length({_T16}), 0) AS symbol_ratio,
              length(regexp_extract_all(lower({_T16}), '[^a-z \\.,;:!?''\\n-]'))
@@ -1431,8 +1426,7 @@ def dd6_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id, source,
-             CAST(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             CAST(coalesce(length(regexp_extract_all(text, '\S+')), 0)
                   AS BIGINT) AS n_tokens
       FROM documents WHERE text IS NOT NULL
     ),

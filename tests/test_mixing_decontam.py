@@ -81,3 +81,18 @@ def test_sequence_packing_budget_and_determinism(spark):
     for (src, seq), toks in per_seq.items():
         # a sequence may only exceed the budget via its LAST-started doc
         assert sum(toks) - max(toks) < 100, (src, seq, toks)
+
+
+def test_sequence_packing_exclusive_prefix_boundary(spark):
+    """A doc whose tokens exactly fill the budget closes its sequence:
+    the NEXT doc starts seq 1 while the filler itself stays in seq 0 —
+    pins the exclusive (not inclusive) prefix-sum frame."""
+    from gemproc2caom2_spark.operators.mixing import sequence_packing
+
+    rows = [(1, "g", " ".join(["t"] * 100)), (2, "g", "small doc here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r.doc_id: r.seq_id for r in sequence_packing(df, budget=100).collect()}
+    # md5('1') < md5('2') -> doc 1 first
+    import hashlib
+    assert hashlib.md5(b"1").hexdigest() < hashlib.md5(b"2").hexdigest()
+    assert out == {1: 0, 2: 1}
