@@ -125,10 +125,14 @@ def near_dup_stream(
     fold is batch-local anyway because every doc's bucket rows land in
     the same micro-batch).
 
-    Per-bucket groups are buffered to find the batch-local min key: a
-    bucket group is a single LSH hash bucket within ONE micro-batch —
-    band index is baked into the bucket value, so this is bounded by
-    near-identical docs per batch, not corpus boilerplate at large.
+    Bounded memory on the first-seen path: the batch-local min key is
+    folded chunk by chunk — a row strictly above the running min is
+    already a certain duplicate (the min only decreases) and is emitted
+    immediately; only rows EQUAL to the running min are held (the same
+    doc can reach one bucket through several bands, so ties are bounded
+    by the band count, not the group size). A boilerplate storm
+    flooding one bucket in one micro-batch therefore peaks at one Arrow
+    chunk + ≤ bands held rows, the first_occurrence_stream discipline.
 
     Docs with a null or empty ``bands_col`` (no signature — e.g. docs a
     cheap gate already dropped) are NOT dedup candidates but must not
@@ -170,10 +174,34 @@ def near_dup_stream(
                     out["_bucket_dup"] = True
                     yield out
         else:
-            group = pd.concat(list(pdfs), ignore_index=True)
-            if len(group):
-                out = group[cols].copy()
-                out["_bucket_dup"] = out[key_col] > out[key_col].min()
+            # single-pass fold to the batch-local min: emit certain
+            # duplicates (key > running min) per chunk, hold only the
+            # current min-key ties (same doc via several bands)
+            held: pd.DataFrame | None = None
+            best_key = None
+            for chunk in pdfs:
+                if not len(chunk):
+                    continue
+                cmin = chunk[key_col].min()
+                if best_key is None or cmin < best_key:
+                    if held is not None and len(held):
+                        out = held[cols].copy()
+                        out["_bucket_dup"] = True
+                        yield out
+                    best_key = cmin
+                    held = chunk[chunk[key_col] == cmin].copy()
+                else:
+                    eq = chunk[chunk[key_col] == best_key]
+                    if len(eq):
+                        held = pd.concat([held, eq], ignore_index=True)
+                dups = chunk[chunk[key_col] > best_key]
+                if len(dups):
+                    out = dups[cols].copy()
+                    out["_bucket_dup"] = True
+                    yield out
+            if held is not None and len(held):
+                out = held[cols].copy()
+                out["_bucket_dup"] = False
                 yield out
             state.update((True,))
 

@@ -293,3 +293,67 @@ def test_first_occurrence_string_order_col(spark, tmp_path):
     q.awaitTermination()
     rows = {r.url: r.text for r in spark.sql("SELECT url, text FROM str_order").collect()}
     assert rows == {"https://x/k": "alpha", "https://x/m": "only"}
+
+
+def test_near_dup_stream_hot_bucket(spark, tmp_path):
+    """A boilerplate storm: thousands of docs sharing ONE bucket inside
+    one micro-batch. The first-seen fold must keep exactly the min
+    url_hash and flag the rest, while holding only min-ties in memory
+    (Arrow chunks forced tiny so the iterator really yields many)."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    from gemproc2caom2_spark.streaming.stateful import (
+        fold_bucket_verdicts,
+        near_dup_stream,
+    )
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    n = 3000
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("url_hash", LongType()),
+            StructField("lsh_bands", ArrayType(LongType())),
+        ]
+    )
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://storm.example/p{i}" for i in range(n)],
+            # deterministic scramble; min buried mid-stream
+            "url_hash": [((i * 2654435761) % 1_000_003) + 10 for i in range(n)],
+            "lsh_bands": [[42] for _ in range(n)],
+        }
+    )
+    winner = pdf.loc[pdf.url_hash.idxmin(), "url"]
+    spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    verdicts: dict[str, bool] = {}
+
+    def sink(batch_df, batch_id):
+        for r in fold_bucket_verdicts(batch_df).collect():
+            verdicts[r.url] = bool(r.is_duplicate)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        src = spark.readStream.schema(schema).parquet(input_dir)
+        q = (
+            near_dup_stream(src)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert len(verdicts) == n
+    assert verdicts[winner] is False
+    assert sum(1 for v in verdicts.values() if not v) == 1
