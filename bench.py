@@ -60,6 +60,7 @@ HEADLINE = [
     "tx8_quality_classifier",
     "dec1_decontamination",
     "mix1_domain_quota",
+    "pack1_sequence_packing",
     "j5_lineage_fold",
     "cur3_flagship_oracle",
     "cur1_flagship_pipeline",
