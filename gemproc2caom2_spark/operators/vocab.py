@@ -65,3 +65,52 @@ def vocabulary(
         .limit(k)
     )
     return out
+
+
+def doc_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the tagging/labeling
+    step of a curation pipeline (and the classic retrieval weighting):
+    token tf within the doc times ln(N/df) from the corpus, ranked per
+    doc. Scores are rounded to 6 dp BEFORE ranking so the ordering is
+    engine-stable (a 1-ulp ln() difference must not flip ranks); ties
+    break by token ascending. Returns (id, token, tfidf_r6, rank).
+
+    Scale shape: the exploded (doc, token) counts shuffle once on the
+    composite key, join the thin per-token df frame (token-keyed — the
+    hot-token skew bound, broadcast when the vocab is small), and the
+    per-doc top-k window sorts only each doc's own distinct tokens.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    base = df.where(F.col(text_col).isNotNull() & (t != ""))
+    toks = base.select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    docfreq = toks.groupBy("token").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = base.select(
+        F.count_distinct(id_col).cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(docfreq, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
+            ).alias("tfidf_r6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_r6"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+    )

@@ -1454,3 +1454,37 @@ def pack1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(
         d, text_col="text", id_col="doc_id", group_col="source", budget=512
     )
+
+
+@register(
+    "tx9_doc_keywords",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(lower(text)) <> ''
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    docfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n_docs::DOUBLE / docfreq.df), 6) AS tfidf_r6
+      FROM tf JOIN docfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf_r6, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf_r6 DESC, token ASC) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tx9_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3, engine-stable
+    ranking: scores rounded to 6 dp before the window so a 1-ulp ln()
+    difference cannot flip ranks; ties by token). The tagging step of a
+    curation pipeline — operators/vocab.doc_keywords."""
+    from gemproc2caom2_spark.operators.vocab import doc_keywords
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return doc_keywords(d, text_col="text", id_col="doc_id", k=3)

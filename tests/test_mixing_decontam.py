@@ -96,3 +96,29 @@ def test_sequence_packing_exclusive_prefix_boundary(spark):
     import hashlib
     assert hashlib.md5(b"1").hexdigest() < hashlib.md5(b"2").hexdigest()
     assert out == {1: 0, 2: 1}
+
+
+def test_doc_keywords_semantics(spark):
+    """Rare-but-frequent-within-doc terms outrank common terms; ubiquitous
+    terms score idf=0; rank is deterministic and capped at k."""
+    from gemproc2caom2_spark.operators.vocab import doc_keywords
+
+    rows = [
+        (1, "shared shared zebra zebra zebra common"),
+        (2, "shared common unique"),
+        (3, "shared common filler words"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = doc_keywords(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.tfidf_r6))
+    for d in by_doc.values():
+        d.sort()
+    # 'shared'/'common' appear in all 3 docs -> idf 0 -> never a top keyword
+    # when any distinctive token exists
+    assert by_doc[1][0][1] == "zebra"
+    assert by_doc[2][0][1] == "unique"
+    assert all(len(v) <= 2 for v in by_doc.values())
+    assert 4 not in by_doc
