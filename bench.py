@@ -58,6 +58,7 @@ HEADLINE = [
     "tx6_bigram_lm_train",
     "tx7_vocab_idf",
     "tx8_quality_classifier",
+    "tx9_doc_keywords",
     "dec1_decontamination",
     "mix1_domain_quota",
     "pack1_sequence_packing",
