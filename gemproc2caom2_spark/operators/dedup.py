@@ -495,8 +495,6 @@ def remove_boilerplate_lines(
        per doc (groupBy collect of (pos, line) structs, sorted — bounded
        by lines-per-doc, never corpus-wide).
     """
-    from pyspark import StorageLevel
-
     from gemproc2caom2_spark.functions.hashing import hex15_hash
     from gemproc2caom2_spark.functions.text import lines as lines_expr
 
@@ -505,18 +503,21 @@ def remove_boilerplate_lines(
         F.col(id_col),
         F.posexplode(lines_expr(F.col(text_col))).alias("_pos", "_line"),
     ).withColumn("_lh", hex15_hash("_line"))
-    # the plan forks on ln (boilerplate aggregate + anti-join probe side)
-    # — same shape as curate()'s dedup fork: without an EAGER barrier the
-    # scan + explode + hash recompute once per branch, and AQE's
-    # concurrent stage launch races an un-materialized cache (measured
-    # 3x wall there). Caller releases via unpersist_boilerplate_cache.
-    ln = ln.persist(StorageLevel.MEMORY_AND_DISK)
-    ln.count()
+    # The plan forks on ln (boilerplate aggregate + anti-join probe
+    # side). The fork barrier is the THIN side: eagerly materialize the
+    # boilerplate hash SET via localCheckpoint — bounded by the number
+    # of distinct repeated lines, not by the corpus — and let the probe
+    # side re-run the scan+explode once more. Two scans beat a
+    # corpus-sized MEMORY_AND_DISK cache at 100 TB, and localCheckpoint
+    # blocks are released by the context cleaner when the frame is
+    # GC'd, so long-lived sessions can't accumulate caches (the r4
+    # lifecycle leak: the dd6 query never called the unpersist hook).
     boiler = (
         ln.groupBy("_lh")
         .agg(F.count_distinct(id_col).alias("_df"))
         .where(F.col("_df") >= min_df)
         .select("_lh")
+        .localCheckpoint(eager=True)
     )
     rebuilt = (
         ln.join(boiler, on="_lh", how="left_anti")
@@ -534,14 +535,14 @@ def remove_boilerplate_lines(
     out = base.select(id_col).join(rebuilt, on=id_col, how="left").select(
         id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
     )
-    out._lines_persisted = ln  # type: ignore[attr-defined]
     return out
 
 
 def unpersist_boilerplate_cache(df: DataFrame) -> None:
-    """Release the exploded-lines barrier cache attached to a
-    remove_boilerplate_lines result (the unpersist_curate_cache
-    convention — long-lived sessions must not accumulate it)."""
+    """Kept for API stability: remove_boilerplate_lines no longer
+    attaches a corpus-sized cache (the barrier is a thin
+    localCheckpoint of the boilerplate hash set, released by the
+    context cleaner), so there is nothing to unpersist."""
     p = getattr(df, "_lines_persisted", None)
     if p is not None:
         p.unpersist()

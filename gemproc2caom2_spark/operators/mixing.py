@@ -74,9 +74,17 @@ def sequence_packing(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_excl = F.coalesce(F.sum(tok).over(w), F.lit(0).cast("long"))
+    # exact long division (DIV), not floor(double /): doubles lose
+    # integer exactness past 2^53, which a 10^12-doc group's cumulative
+    # token sum can reach
     return df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.col(group_col),
         tok.alias("n_tokens"),
-        F.floor(cum_excl / budget).cast("bigint").alias("seq_id"),
+        cum_excl.alias("_ce"),
+    ).select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.expr(f"_ce DIV {int(budget)}").cast("bigint").alias("seq_id"),
     )

@@ -94,13 +94,23 @@ def _fs_read_lines(spark: SparkSession, path: str) -> list[str]:
     fs, hpath = _hadoop_fs(spark, path)
     jvm = spark.sparkContext._jvm
     stream = fs.open(hpath)
+    # JDK-only read loop (BufferedReader over the FSDataInputStream):
+    # no third-party JVM classes — commons-io isn't guaranteed on every
+    # deployment's classpath, and markers are a few lines so the
+    # one-py4j-call-per-line cost is nil
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(stream, "UTF-8")
+    )
+    lines: list[str] = []
     try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
+        ln = reader.readLine()
+        while ln is not None:
+            if ln:
+                lines.append(ln)
+            ln = reader.readLine()
     finally:
-        stream.close()
-    return [ln for ln in text.splitlines() if ln]
+        reader.close()
+    return lines
 
 
 def _fs_delete(spark: SparkSession, path: str) -> None:

@@ -1155,6 +1155,7 @@ def k5_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the todo/success/retry rollover, composable.py:126-135 and
     tests/test_composable.py:126-135."""
     import shutil
+    import tempfile
 
     from gemproc2caom2_spark.plans.checkpoint import (
         committed_results,
@@ -1163,8 +1164,12 @@ def k5_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_incremental,
     )
 
-    root = "/tmp/gemproc_k5_" + _os.path.basename(sf_dir.rstrip("/"))
-    shutil.rmtree(root, ignore_errors=True)
+    # per-invocation unique root: a fixed shared path raced between two
+    # concurrent sessions at the same scale factor (one's rmtree vs the
+    # other's in-flight ledger writes) and left the ledger behind
+    root = tempfile.mkdtemp(
+        prefix="gemproc_k5_" + _os.path.basename(sf_dir.rstrip("/")) + "_"
+    )
     docs = load(spark, sf_dir, "documents")
 
     def to_input(df: DataFrame) -> DataFrame:
@@ -1189,14 +1194,18 @@ def k5_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = committed_run_ids(spark, root)
     if len(live) != 1:
         raise ValueError(f"expected 1 live run after compaction, got {live}")
-    res = committed_results(spark, root)
-    return res.select(
+    res = committed_results(spark, root).select(
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
         "lang_pred",
         "drop_reason",
         "keep",
         "perplexity",
     )
+    # pin the result off the ledger files (localCheckpoint blocks), then
+    # delete the per-invocation root so nothing is left behind
+    res = res.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return res
 
 
 # ===========================================================================
@@ -1438,7 +1447,7 @@ def dd6_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, source, n_tokens,
-           CAST(floor(ce / 512.0) AS BIGINT) AS seq_id
+           CAST(ce // 512 AS BIGINT) AS seq_id
     FROM c
     """,
 )

@@ -217,13 +217,16 @@ def near_dup_stream(
 
 def fold_bucket_verdicts(batch_df: DataFrame, key_col: str = "url_hash") -> DataFrame:
     """Fold ``near_dup_stream`` bucket verdicts back to one row per doc
-    (use inside foreachBatch): is_duplicate = ANY bucket flagged; the
-    payload columns are identical across a doc's bucket rows, so any
-    representative works (max picks one deterministically)."""
+    (use inside foreachBatch): is_duplicate = ANY bucket flagged. The
+    payload columns are required to be identical across a doc's bucket
+    rows (they are copies of the same source row), so a deterministic
+    representative works: min_by on ``_bucket`` picks bucket-0's copy
+    and — unlike max — never mixes values across rows and accepts
+    non-orderable payload types (map, struct-of-map)."""
     from pyspark.sql import functions as F
 
     payload = [c for c in batch_df.columns if c not in (key_col, "_bucket", "_bucket_dup")]
     return batch_df.groupBy(key_col).agg(
-        *[F.max(c).alias(c) for c in payload],
+        *[F.min_by(c, "_bucket").alias(c) for c in payload],
         F.max("_bucket_dup").alias("is_duplicate"),
     )
