@@ -282,7 +282,6 @@ def mark_lsh_duplicates(
     true cluster root — the right setting when lineage must name the
     canonical doc of heavy-boilerplate corpora at 100-TB scale.
     """
-    other_cols = [c for c in df.columns]
     exploded = (
         df.select(key_col, sig_col)
         .where(F.col(sig_col).isNotNull())
@@ -293,13 +292,50 @@ def mark_lsh_duplicates(
             ),
         )
     )
+    return _fold_bucket_duplicates(
+        df,
+        exploded,
+        key_col=key_col,
+        out_col=out_col,
+        canonical_col=canonical_col,
+        canonical_attrs=canonical_attrs,
+        resolve_hops=resolve_hops,
+    )
+
+
+def _fold_bucket_duplicates(
+    df: DataFrame,
+    exploded: DataFrame,
+    key_col: str,
+    out_col: str,
+    canonical_col: str | None,
+    canonical_attrs: DataFrame | None,
+    resolve_hops: int | str,
+    pair_filter=None,
+) -> DataFrame:
+    """Shared band-bucket fold: (key, _band, _bucket) candidate rows ->
+    per-key duplicate flag + optional canonical key/attrs. The bucketed
+    (never pairwise) core of both the MinHash-LSH and SimHash markers —
+    groupBy-min per bucket, fold-back min per key, pointer-jump chain
+    resolution. See ``mark_lsh_duplicates`` for the full scale analysis.
+
+    ``pair_filter``: optional verification hook — receives the distinct
+    (key, _bucket_min) candidate frame (at most bands rows per key) and
+    returns the verified subset; used by the simhash marker's Hamming
+    check. Keys left with no verified candidate resolve to non-dup via
+    the final left join.
+    """
+    other_cols = [c for c in df.columns]
     bucket_mins = exploded.groupBy("_band", "_bucket").agg(
         F.min(key_col).alias("_bucket_min")
     )
-    dup_flags = (
-        exploded.join(bucket_mins, on=["_band", "_bucket"])
-        .groupBy(key_col)
-        .agg(F.min("_bucket_min").alias("_canon_key"))
+    candidates = exploded.join(bucket_mins, on=["_band", "_bucket"]).select(
+        key_col, "_bucket_min"
+    )
+    if pair_filter is not None:
+        candidates = pair_filter(candidates.distinct())
+    dup_flags = candidates.groupBy(key_col).agg(
+        F.min("_bucket_min").alias("_canon_key")
     )
     if resolve_hops == "full":
         dup_flags = resolve_canonical_fixpoint(dup_flags, key_col)
@@ -384,6 +420,115 @@ def with_simhash(
     df: DataFrame, text_col: str = "text_extracted", out_col: str = "simhash"
 ) -> DataFrame:
     return df.withColumn(out_col, make_simhash_udf()(word_hex15_hashes_expr(text_col)))
+
+
+def simhash_band_keys_expr(sig: Column | str, bits: int = 60, bands: int = 6) -> Column:
+    """array<bigint> of bit-slice band values of a simhash signature:
+    band b = (sig >> b*w) & (2^w - 1) with w = bits // bands (bits must
+    divide evenly). By pigeonhole, two signatures within Hamming
+    distance <= bands - 1 agree exactly on at least one band, so
+    exact-match band buckets are a complete candidate generator up to
+    that tolerance — the simhash twin of the MinHash ``band_keys_expr``.
+    Pure Column arithmetic (shift + mask), no UDF."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    s = F.col(sig) if isinstance(sig, str) else sig
+    w = bits // bands
+    mask = F.lit((1 << w) - 1).cast("long")
+    return F.array(
+        *[F.shiftright(s, b * w).bitwiseAND(mask) for b in range(bands)]
+    )
+
+
+def mark_simhash_duplicates(
+    df: DataFrame,
+    key_col: str = "url_hash",
+    sig_col: str = "simhash",
+    bits: int = 60,
+    bands: int = 6,
+    tolerance: int | None = 5,
+    out_col: str = "is_duplicate",
+    canonical_col: str | None = None,
+    canonical_attrs: DataFrame | None = None,
+    resolve_hops: int | str = 2,
+) -> DataFrame:
+    """SimHash near-duplicate marking — completes the simhash family
+    (``with_simhash`` produces signatures; this buckets them into
+    keep/drop verdicts, the reference's V4 drop-rule shape,
+    /root/reference/gemProc2caom2/main_app.py:221-224).
+
+    Two stages, neither enumerating corpus pairs:
+
+    1. Candidate generation: the ``bits``-bit signature splits into
+       ``bands`` exact-match bit-bands; by pigeonhole any pair within
+       Hamming distance bands-1 shares a band, so band buckets are a
+       COMPLETE candidate generator up to that radius. groupBy-min per
+       (band, bucket) with map-side combine, min fold-back per key —
+       bands x |corpus| thin long rows, same shape as MinHash-LSH.
+    2. Hamming verification (``tolerance``, the Manku/Google simhash
+       protocol): simhash bits are biased by common-language words, so
+       band buckets over web text collide far beyond true near-dups
+       (measured: 10-bit bands mark 97% of an English corpus). Each
+       (key, bucket-min) candidate — at most ``bands`` per doc, never a
+       pairwise blowup — is checked with bit_count(xor) <= tolerance
+       against the candidate canonical before the fold; pure JVM bit
+       arithmetic. Pass ``tolerance=None`` to skip (band-approximate
+       marking, stated radius bands-1).
+
+    Then ``resolve_hops`` pointer-jump rounds (or ``"full"`` for the
+    connected-components fixed point) resolve chained clusters; each
+    verified hop is within ``tolerance``, so a cluster member is within
+    tolerance x chain-length of its root (standard transitive-closure
+    semantics of near-dup clustering). Recall note: verification is
+    against the bucket MIN only — two far-from-min members of one
+    bucket that are mutually close are caught only via their own
+    buckets — the deliberate no-pairs trade every production simhash
+    dedup makes.
+    """
+    exploded = (
+        df.select(key_col, sig_col)
+        .where(F.col(sig_col).isNotNull())
+        .select(
+            key_col,
+            F.posexplode(simhash_band_keys_expr(sig_col, bits, bands)).alias(
+                "_band", "_bucket"
+            ),
+        )
+    )
+    pair_filter = None
+    if tolerance is not None:
+        sigs = df.select(key_col, sig_col).where(F.col(sig_col).isNotNull())
+
+        def pair_filter(cand: DataFrame) -> DataFrame:
+            a = sigs.select(
+                F.col(key_col), F.col(sig_col).alias("_sig_a")
+            )
+            m = sigs.select(
+                F.col(key_col).alias("_bucket_min"),
+                F.col(sig_col).alias("_sig_m"),
+            )
+            return (
+                cand.join(a, on=key_col)
+                .join(m, on="_bucket_min")
+                .where(
+                    F.bit_count(
+                        F.col("_sig_a").bitwiseXOR(F.col("_sig_m"))
+                    )
+                    <= tolerance
+                )
+                .select(key_col, "_bucket_min")
+            )
+
+    return _fold_bucket_duplicates(
+        df,
+        exploded,
+        key_col=key_col,
+        out_col=out_col,
+        canonical_col=canonical_col,
+        canonical_attrs=canonical_attrs,
+        resolve_hops=resolve_hops,
+        pair_filter=pair_filter,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -236,6 +236,76 @@ def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd7_simhash_near_dup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
+    h AS (
+      SELECT doc_id, {hex15_hash_sql("word")} AS hw FROM w),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(60) t(b) GROUP BY doc_id, b),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id),
+    ex AS (
+      SELECT doc_id, b, (simhash >> (b * 10)) & 1023 AS bucket
+      FROM sh CROSS JOIN range(6) t(b)),
+    bm AS (SELECT b, bucket, min(doc_id) AS bmin FROM ex GROUP BY b, bucket),
+    cand AS (
+      SELECT DISTINCT ex.doc_id, bm.bmin
+      FROM ex JOIN bm USING (b, bucket)),
+    ver AS (
+      SELECT c.doc_id, c.bmin
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_id
+      JOIN sh m ON m.doc_id = c.bmin
+      WHERE bit_count(xor(a.simhash, m.simhash)) <= 5),
+    c0 AS (SELECT doc_id, min(bmin) AS canon FROM ver GROUP BY doc_id),
+    c1 AS (
+      SELECT a.doc_id, coalesce(p.canon, a.canon) AS canon
+      FROM c0 a LEFT JOIN c0 p ON a.canon = p.doc_id),
+    c2 AS (
+      SELECT a.doc_id, coalesce(p.canon, a.canon) AS canon
+      FROM c1 a LEFT JOIN c1 p ON a.canon = p.doc_id)
+    SELECT sh.doc_id, sh.simhash,
+           coalesce(c2.canon < sh.doc_id, FALSE) AS is_duplicate,
+           CASE WHEN c2.canon < sh.doc_id THEN c2.canon END AS canonical_id
+    FROM sh LEFT JOIN c2 USING (doc_id)
+    """,
+)
+def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup MARKING — the third dedup family completed from
+    signature to keep/drop verdict. The signature is the PRODUCTION
+    numpy/Arrow 60-bit simhash UDF (operators.dedup.with_simhash) over
+    per-word hex15 hashes, which the oracle rebuilds relationally in
+    DuckDB (±1 votes per bit, majority): the actual scale-path kernel is
+    oracle-checked, not a SQL-only twin. Bucketing: 6 exact-match
+    10-bit bands (pigeonhole ⇒ complete for Hamming ≤ 5), groupBy-min
+    per bucket, 2 pointer-jump rounds for chained clusters."""
+    from gemproc2caom2_spark.operators.dedup import (
+        mark_simhash_duplicates,
+        with_simhash,
+    )
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    sigs = with_simhash(
+        d.select("doc_id", "text"), text_col="text", out_col="simhash"
+    ).where(F.col("simhash").isNotNull()).select("doc_id", "simhash")
+    return mark_simhash_duplicates(
+        sigs,
+        key_col="doc_id",
+        sig_col="simhash",
+        bits=60,
+        bands=6,
+        canonical_col="canonical_id",
+        resolve_hops=2,
+    )
+
+
 # ===========================================================================
 # similarity search
 # ===========================================================================

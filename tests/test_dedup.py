@@ -139,6 +139,57 @@ def test_simhash_null_and_identity(spark, docs):
     assert ham <= 12, ham
 
 
+def test_simhash_marking_catches_near_dup(spark, docs):
+    """End-to-end simhash dedup: exact dup + 1-word-change near dup both
+    resolve to the min-key canonical; unrelated/short/null docs stay
+    unmarked. tolerance high enough for the 1-word change (<= 12 bits
+    per test_simhash_null_and_identity) but far below the random-doc
+    distance (~30 bits)."""
+    from gemproc2caom2_spark.operators.dedup import (
+        mark_simhash_duplicates,
+        with_simhash,
+    )
+
+    d = with_simhash(docs, text_col="text", out_col="simhash").where(
+        F.col("simhash").isNotNull()
+    )
+    out = mark_simhash_duplicates(
+        d, key_col="doc_id", sig_col="simhash", bits=60, bands=6,
+        tolerance=12, canonical_col="canonical_id",
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].is_duplicate is False
+    assert rows[2].is_duplicate is True and rows[2].canonical_id == 1
+    assert rows[3].is_duplicate is True and rows[3].canonical_id == 1
+    assert rows[4].is_duplicate is False and rows[4].canonical_id is None
+    assert rows[6].is_duplicate is False
+
+
+def test_simhash_verification_rejects_band_collision(spark):
+    """Two docs engineered to share a band value but differ in > tolerance
+    bits must NOT be marked: signatures 0 and (high bits set) share the
+    low band exactly, Hamming distance is 30."""
+    from gemproc2caom2_spark.operators.dedup import mark_simhash_duplicates
+
+    far = (1 << 60) - (1 << 30)  # top 30 bits set, low 30 zero
+    d = spark.createDataFrame(
+        [(1, 0), (2, far)], "doc_id long, simhash long"
+    )
+    verified = mark_simhash_duplicates(
+        d, key_col="doc_id", sig_col="simhash", bits=60, bands=6, tolerance=5
+    )
+    assert [r.is_duplicate for r in verified.orderBy("doc_id").collect()] == [
+        False,
+        False,
+    ]
+    # without verification the shared low bands DO mark doc 2 — the
+    # false positive the Hamming check exists to kill
+    unverified = mark_simhash_duplicates(
+        d, key_col="doc_id", sig_col="simhash", bits=60, bands=6, tolerance=None
+    )
+    assert {r.doc_id: r.is_duplicate for r in unverified.collect()}[2] is True
+
+
 def test_jaccard_hot_shingle_capped(spark):
     """A shingle shared by more docs than max_doc_freq is dropped as
     boilerplate BEFORE pair emission — peak per-row pair-array size is
