@@ -1,0 +1,224 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training — the merge
+loop over the corpus vocabulary that ``vocabulary()`` stops short of
+(operators/vocab.py), completing the tokenizer-training step of an LLM
+data pipeline. Reference analog: the archive-wide keyword lookup tables
+built once from holdings and then broadcast
+(/root/reference/gemProc2caom2/main_app.py:135-181) — here the "lookup
+table" is the learned merge list, trained once and applied everywhere.
+
+Algorithm (Sennrich et al. 2016): words become character sequences
+(last char tagged ``</w>``); each round merges the globally most
+frequent adjacent symbol pair, left-to-right non-overlapping, ties
+broken deterministically (freq desc, then left asc, right asc) so
+every engine/implementation derives the identical merge list.
+
+Scale shape — the part that matters at 100 TB:
+- ONE corpus-sized shuffle, ever: the initial wordcount (the tx7
+  canonical shape, map-side combined). Everything after runs on the
+  (word, freq) table, whose size is the DISTINCT vocabulary — millions
+  of rows when the corpus is trillions of tokens.
+- Each merge round = one groupBy over adjacent pairs of that thin
+  table (map-side combined; pair cardinality <= total symbols across
+  distinct words) + a 1-row argmax collect (the broadcast-dim pattern:
+  the winning pair is a scalar decision, exactly like the IVF centroid
+  read) + a JVM-only fold applying the merge.
+- ``localCheckpoint`` every few rounds truncates the otherwise
+  N-rounds-deep lineage — the standard iterative-algorithm discipline
+  (same as the connected-components fixpoint, operators/dedup.py).
+- Driver-side alternative deliberately NOT taken: real tokenizer
+  trainers often collect the vocab and loop in-memory; that caps the
+  vocabulary at driver RAM. The distributed loop keeps the 10^8-word
+  multilingual case on the cluster and costs only vocab-sized rounds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+# lineage-truncation cadence for the iterative loop
+_CHECKPOINT_EVERY = 8
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", min_word_freq: int = 1
+) -> DataFrame:
+    """(word, freq) over whitespace words of lower(text) — the single
+    corpus-sized shuffle (same tokenization as vocabulary())."""
+    t = F.trim(F.lower(F.col(text_col)))
+    wf = (
+        df.where(F.col(text_col).isNotNull() & (t != ""))
+        .select(F.explode(F.split(t, r"\s+")).alias("word"))
+        # leading non-space whitespace (F.trim strips spaces only)
+        # yields an empty first split element — not a word
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    if min_word_freq > 1:
+        wf = wf.where(F.col("freq") >= min_word_freq)
+    return wf
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Characters of the word, last one tagged with the end-of-word
+    marker: "low" -> [l, o, w</w>]."""
+    chars = F.split(word, "(?!$)")
+    n = F.size(chars)
+    return F.transform(
+        chars,
+        lambda c, i: F.when(i == n - 1, F.concat(c, F.lit(EOW))).otherwise(c),
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (overlapping runs
+    each count — the standard BPE pair statistic)."""
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping replacement of (left, right) with
+    left||right — a pure-JVM aggregate fold, no Python per row.
+
+    Fold state (out, prev): ``prev`` holds the symbol that may still
+    start a merge; a completed merge resets it so the merged token
+    cannot re-merge within this round (Sennrich semantics)."""
+    merged = left + right
+    empty = F.array().cast("array<string>")
+    init = F.struct(
+        empty.alias("out"), F.lit(None).cast("string").alias("prev")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        return F.when(
+            (acc["prev"] == left) & (s == right),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["prev"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["prev"])),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                s.alias("prev"),
+            )
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_word_freq: int = 1,
+    min_pair_freq: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``num_merges`` BPE merges from the corpus.
+
+    Returns [(rank, left, right, pair_freq), ...] rank starting at 1 —
+    a driver-side list because the merge table IS the trained model
+    (tiny, broadcast to consumers; the train-store-probe protocol's
+    store step is the caller's choice of sink). Stops early when no
+    pair reaches ``min_pair_freq``.
+    """
+    wf = word_frequencies(df, text_col, min_word_freq).select(
+        _initial_symbols(F.col("word")).alias("syms"), "freq"
+    )
+    # materialize the post-wordcount table once: every round re-reads it
+    wf = wf.localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            wf.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None or best.pf < min_pair_freq:
+            break
+        merges.append((rank, best.l, best.r, int(best.pf)))
+        wf = wf.select(
+            _apply_merge(F.col("syms"), best.l, best.r).alias("syms"), "freq"
+        )
+        if rank % _CHECKPOINT_EVERY == 0:
+            wf = wf.localCheckpoint(eager=True)
+    return merges
+
+
+def merges_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Merge list as a (rank, lhs, rhs, merged, pair_freq) frame — the
+    storable/oracle-comparable form of the trained model (lhs/rhs, not
+    left/right: SQL reserved words complicate every oracle)."""
+    rows = [(r, l, rt, l + rt, f) for (r, l, rt, f) in merges]
+    return spark.createDataFrame(
+        rows, "rank long, lhs string, rhs string, merged string, pair_freq long"
+    )
+
+
+def encode_bpe(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize text with a trained merge list: per word, repeatedly
+    apply the lowest-rank merge present until none applies (standard
+    BPE inference). The merge table rides to executors inside the UDF
+    closure (broadcast-variable pattern; ``num_merges`` entries).
+
+    Arrow-batched; the per-word loop is bounded by word length and runs
+    over the python batch — acceptable because encoding is a terminal
+    export stage, not a curation hot-path gate. Null text -> null.
+    """
+    rank_of = {(l, r): k for (k, l, r, _f) in merges}
+
+    def _enc_word(word: str) -> list[str]:
+        syms = [c for c in word]
+        if syms:
+            syms[-1] = syms[-1] + EOW
+        while len(syms) > 1:
+            best_k, best_i = None, None
+            for i in range(len(syms) - 1):
+                k = rank_of.get((syms[i], syms[i + 1]))
+                if k is not None and (best_k is None or k < best_k):
+                    best_k, best_i = k, i
+            if best_k is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            for w in t.strip(" ").lower().split():
+                toks.extend(_enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))

@@ -45,6 +45,7 @@ _RESIZE_FIXTURE = _os.path.join(_FIXTURE_DIR, "media_resize.parquet")
 _DUP_FIXTURE = _os.path.join(_FIXTURE_DIR, "lsh_duplicates.parquet")
 _IVF_FIXTURE = _os.path.join(_FIXTURE_DIR, "ivf_centers.parquet")
 _QLR_FIXTURE = _os.path.join(_FIXTURE_DIR, "quality_lr_weights.parquet")
+_BPE_FIXTURE = _os.path.join(_FIXTURE_DIR, "bpe_merges.parquet")
 
 
 def _perm_ab(i: int) -> tuple[int, int]:
@@ -1655,3 +1656,29 @@ def tx9_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     return doc_keywords(d, text_col="text", id_col="doc_id", k=3)
+
+
+@register(
+    "bpe1_merge_train",
+    f"""
+    SELECT rank, lhs, rhs, merged, pair_freq
+    FROM read_parquet('{_BPE_FIXTURE}') fx
+    WHERE fx.corpus_md5 = (SELECT md5(string_agg(md5(coalesce(text, '')),
+                                                 '' ORDER BY doc_id))
+                           FROM documents)
+    """,
+)
+def bpe1_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (40 merge rounds) over the corpus — the
+    merge loop vocabulary() stops short of (operators/bpe.py: one
+    corpus-sized wordcount shuffle, then vocab-sized pair-count rounds
+    with a 1-row argmax each and localCheckpoint lineage truncation).
+    The oracle is the INDEPENDENT pure-Python trainer's pinned output
+    (tests/gen_fixtures.py _gen_bpe_merges), keyed by corpus
+    fingerprint — the same train-store-probe fixture protocol as
+    sim4/tx8. Deterministic tie-break (freq desc, lhs asc, rhs asc)
+    makes the merge list engine-invariant."""
+    from gemproc2caom2_spark.operators.bpe import merges_df, train_bpe
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return merges_df(spark, train_bpe(d, text_col="text", num_merges=40))

@@ -128,3 +128,74 @@ def process_document(html: bytes | None, text: str | None,
     out = verdict(extracted, rules)
     out["text_extracted"] = extracted
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — independent mirror of operators/bpe.py
+# ---------------------------------------------------------------------------
+
+BPE_EOW = "</w>"
+
+
+def bpe_merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Left-to-right non-overlapping merge (Sennrich semantics)."""
+    out: list[str] = []
+    prev: str | None = None
+    for s in syms:
+        if prev == left and s == right:
+            out.append(left + right)
+            prev = None
+        else:
+            if prev is not None:
+                out.append(prev)
+            prev = s
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
+def bpe_train_python(
+    word_freq: dict[str, int],
+    num_merges: int = 50,
+    min_pair_freq: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """BPE merge list from a word-frequency table: each round the most
+    frequent adjacent pair wins (ties: freq desc, left asc, right asc).
+    Must stay behavior-identical to operators.bpe.train_bpe — it is the
+    independent implementation the fixture oracle pins."""
+    vocab: list[tuple[list[str], int]] = []
+    for w, f in word_freq.items():
+        syms = list(w)
+        if syms:
+            syms[-1] = syms[-1] + BPE_EOW
+            vocab.append((syms, f))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), pf = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if pf < min_pair_freq:
+            break
+        merges.append((rank, l, r, pf))
+        vocab = [(bpe_merge_word(s, l, r), f) for s, f in vocab]
+    return merges
+
+
+def bpe_word_freq_python(texts: list[str | None]) -> dict[str, int]:
+    """Word frequencies with the engine's tokenization (trim spaces,
+    lower, whitespace split)."""
+    wf: dict[str, int] = {}
+    for t in texts:
+        if t is None:
+            continue
+        t = t.strip(" ").lower()
+        if t == "":
+            continue
+        for w in _WS_SPLIT.split(t):
+            if w != "":
+                wf[w] = wf.get(w, 0) + 1
+    return wf
