@@ -8,17 +8,26 @@ resumes and the SQL oracle all select the identical subset — the
 reference's todo-list determinism requirement applied to sampling.
 
 Scale shape: one row_number window per group. A window sorts each
-group on one task, so a hot domain is the straggler bound — for
-quota << group size the right production shape is this window AFTER a
-cheap pre-filter (e.g. keep=true only), which this operator composes
-with; the alternative min_by-array fold materializes quota rows per
-group in one struct and loses to the window beyond small quotas.
+group on one task, so a hot domain is the straggler bound — either
+compose AFTER a cheap pre-filter (e.g. keep=true only), or pass
+``shards_per_group`` > 1: the group salts into B deterministic
+sub-shards (md5-of-id derived, so still rerun/oracle-stable), each
+windowed on its own task, and the quota/budget splits across shards.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _shard_of(id_col: str, shards: int) -> Column:
+    """Deterministic sub-shard of a doc id: first 8 hex chars of the
+    SAME md5 that orders the sample, mod B — engine-independent and
+    independent of the order rank (different hex ranges)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 25, 8), 16, 10
+    ).cast("bigint") % shards
 
 
 def domain_quota(
@@ -26,15 +35,38 @@ def domain_quota(
     group_col: str = "source",
     id_col: str = "doc_id",
     quota: int = 100,
+    shards_per_group: int = 1,
 ) -> DataFrame:
     """Keep at most ``quota`` docs per ``group_col``, selected by the
     deterministic md5-of-id order (uniform over insertion order,
-    engine-independent). Adds ``sample_rank`` (1-based within group)."""
+    engine-independent). Adds ``sample_rank`` (1-based within group).
+
+    ``shards_per_group`` = B > 1 bounds the per-task sort for hot
+    groups: each group salts into B md5-derived sub-shards, shard s
+    keeps ``quota DIV B`` (+1 for s < quota mod B) rows — exactly
+    ``quota`` total for groups with enough rows per shard. The SELECTED
+    SUBSET differs from B=1 (it is a stratified variant of the same
+    uniform order); B=1 is bit-identical to the unsharded operator, so
+    oracles pin B=1 and the sharded path is covered by its own bound
+    tests."""
     order = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(order)
+    if shards_per_group <= 1:
+        w = Window.partitionBy(group_col).orderBy(order)
+        return (
+            df.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= quota)
+        )
+    b = shards_per_group
+    shard = _shard_of(id_col, b)
+    w = Window.partitionBy(group_col, "_shard").orderBy(order)
+    shard_quota = F.lit(quota // b) + F.when(
+        F.col("_shard") < quota % b, F.lit(1)
+    ).otherwise(F.lit(0))
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
-        .where(F.col("sample_rank") <= quota)
+        df.withColumn("_shard", shard)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= shard_quota)
+        .drop("_shard")
     )
 
 
@@ -44,6 +76,7 @@ def sequence_packing(
     id_col: str = "doc_id",
     group_col: str = "source",
     budget: int = 2048,
+    shards_per_group: int = 1,
 ) -> DataFrame:
     """Assign documents to token-budget training sequences — the
     pretraining 'pack short docs together' step, doc boundaries
@@ -60,31 +93,46 @@ def sequence_packing(
     Deterministic by construction — reruns, resumes and the SQL oracle
     assign identical sequences (the todo-list determinism requirement
     applied to batch assembly). Scale shape: one running-sum window per
-    group — groups are shards you choose (host, source, bucket-of-hash),
-    so per-group volume is bounded by the sharding, exactly the
-    domain_quota note above.
+    group — either pick groups that ARE shards (host, source,
+    bucket-of-hash), or pass ``shards_per_group`` = B > 1: each group
+    salts into B md5-derived sub-shards, each packed independently on
+    its own task, and ``seq_id`` becomes ``local_seq * B + shard`` so
+    ids stay disjoint across a group's shards (sequences never span
+    shards — B=1 keeps the original single-stream ids and is
+    bit-identical to the unsharded operator, which is what oracles
+    pin).
     """
     from gemproc2caom2_spark.functions.text import token_count_ws
 
     tok = token_count_ws(F.col(text_col))
     order = F.md5(F.col(id_col).cast("string"))
+    b = max(int(shards_per_group), 1)
+    part = [group_col] if b == 1 else [group_col, "_shard"]
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*part)
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_excl = F.coalesce(F.sum(tok).over(w), F.lit(0).cast("long"))
+    base = df.where(F.col(text_col).isNotNull())
+    if b > 1:
+        base = base.withColumn("_shard", _shard_of(id_col, b))
     # exact long division (DIV), not floor(double /): doubles lose
     # integer exactness past 2^53, which a 10^12-doc group's cumulative
     # token sum can reach
-    return df.where(F.col(text_col).isNotNull()).select(
+    local_seq = F.expr(f"_ce DIV {int(budget)}").cast("bigint")
+    seq_id = (
+        local_seq if b == 1 else local_seq * b + F.col("_shard").cast("bigint")
+    )
+    return base.select(
         F.col(id_col),
         F.col(group_col),
         tok.alias("n_tokens"),
         cum_excl.alias("_ce"),
+        *([F.col("_shard")] if b > 1 else []),
     ).select(
         id_col,
         group_col,
         "n_tokens",
-        F.expr(f"_ce DIV {int(budget)}").cast("bigint").alias("seq_id"),
+        seq_id.alias("seq_id"),
     )

@@ -122,3 +122,56 @@ def test_doc_keywords_semantics(spark):
     assert by_doc[2][0][1] == "unique"
     assert all(len(v) <= 2 for v in by_doc.values())
     assert 4 not in by_doc
+
+
+def test_domain_quota_sharded_bound_and_b1_identity(spark):
+    from gemproc2caom2_spark.operators.mixing import sequence_packing
+
+    # one mega-group: every row in the same source
+    rows = [(i, "hot", f"word{i} filler text here") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+    # B=1 is bit-identical to the unsharded operator
+    a = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in domain_quota(df, quota=60, shards_per_group=1).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.sample_rank) for r in domain_quota(df, quota=60).collect()
+    )
+    assert a == b
+
+    # sharded: exactly quota rows total, per-shard rank bounded by
+    # ceil(quota/B) — the per-task sort bound the salt exists for
+    B = 8
+    out = domain_quota(df, quota=60, shards_per_group=B).collect()
+    assert len(out) == 60
+    assert max(r.sample_rank for r in out) <= (60 + B - 1) // B
+    # deterministic across runs
+    out2 = domain_quota(df, quota=60, shards_per_group=B).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+
+    # sequence packing: B=1 identity, sharded ids disjoint-by-residue
+    p1 = {r.doc_id: r.seq_id for r in sequence_packing(df, budget=16).collect()}
+    p1b = {
+        r.doc_id: r.seq_id
+        for r in sequence_packing(df, budget=16, shards_per_group=1).collect()
+    }
+    assert p1 == p1b
+    pB = sequence_packing(df, budget=16, shards_per_group=4).collect()
+    assert len(pB) == 400
+    # seq_id = local*B + shard: residue class identifies the shard, and
+    # every doc of one sequence shares the residue (sequences never
+    # span shards)
+    assert {r.seq_id % 4 for r in pB} == {0, 1, 2, 3}
+    # per-shard token conservation: each shard's window indices cover
+    # its docs' exclusive prefix sums (total tokens / budget windows)
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in pB:
+        by_shard[r.seq_id % 4].append(r)
+    for s, rs in by_shard.items():
+        total = sum(r.n_tokens for r in rs)
+        max_local = max(r.seq_id // 4 for r in rs)
+        assert max_local <= total // 16
