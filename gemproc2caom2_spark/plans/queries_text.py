@@ -1682,3 +1682,170 @@ def bpe1_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     return merges_df(spark, train_bpe(d, text_col="text", num_merges=40))
+
+
+# ===========================================================================
+# streaming cross-batch near-dup (ST2's strongest capability, driver row)
+# ===========================================================================
+
+
+def _st2_band_sql() -> str:
+    """DuckDB rendering of the 4-band x 4-row grouping of the 16-perm
+    hex15 minhash: band bucket = hex15(band || ':' || the 4 perm values
+    joined with '_') — string-identical in both engines because the
+    perm values are bigints cast to string."""
+    bands = []
+    for b in range(4):
+        parts = " || '_' || ".join(f"mins[{4 * b + i + 1}]" for i in range(4))
+        s = f"'{b}:' || {parts}"
+        bands.append(hex15_hash_sql(f"({s})"))
+    return "[" + ", ".join(bands) + "]"
+
+
+def _st2_oracle_sql() -> str:
+    """Batch SQL replica of the streaming two-batch run: batch 0 = even
+    doc_ids, batch 1 = odd. A doc is a duplicate iff any of its band
+    buckets (a) was committed by batch 0 and the doc is in batch 1, or
+    (b) holds a smaller doc_id within the doc's own batch — exactly
+    near_dup_stream's state.exists / batch-local-min semantics."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> ws[i] || ' ' || ws[i + 1])) AS shingles
+      FROM w),
+    hs AS (
+      SELECT doc_id, list_transform(shingles, s -> {_SH}) AS hs
+      FROM sh WHERE len(shingles) > 0),
+    pm AS (
+      SELECT doc_id, {_MINS} AS mins FROM hs),
+    bands AS (
+      SELECT doc_id, unnest({_st2_band_sql()}) AS bucket FROM pm),
+    b0 AS (SELECT bucket, min(doc_id) AS m FROM bands
+           WHERE doc_id % 2 = 0 GROUP BY bucket),
+    b1 AS (SELECT bucket, min(doc_id) AS m FROM bands
+           WHERE doc_id % 2 = 1 GROUP BY bucket),
+    fl AS (
+      SELECT d.doc_id,
+             bool_or(CASE WHEN d.doc_id % 2 = 0
+                          THEN coalesce(z.m < d.doc_id, false)
+                          ELSE (z.m IS NOT NULL)
+                               OR coalesce(o.m < d.doc_id, false)
+                     END) AS is_duplicate
+      FROM bands d
+      LEFT JOIN b0 z USING (bucket)
+      LEFT JOIN b1 o USING (bucket)
+      GROUP BY d.doc_id)
+    SELECT doc.doc_id, coalesce(fl.is_duplicate, false) AS is_duplicate
+    FROM documents doc LEFT JOIN fl USING (doc_id)
+    """
+
+
+def _st2_bands_expr() -> "F.Column":
+    """Spark twin of _st2_band_sql over lower(text) 2-word shingles:
+    array<bigint> of 4 band bucket keys, null when the doc has no
+    shingles (single-word/empty/null text -> not a dedup candidate)."""
+    shingles = TX.word_shingles(F.lower(F.col("text")), k=2)
+    hashes = F.transform(F.array_distinct(shingles), hex15_hash)
+
+    def perm(i: int):
+        a, b = _perm_ab(i)
+        return F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: (h % MERSENNE_61 % _M31 * a + b) % MERSENNE_61,
+            )
+        ).cast("string")
+
+    def band(b: int):
+        parts = []
+        for i in range(4):
+            if i:
+                parts.append(F.lit("_"))
+            parts.append(perm(4 * b + i))
+        return hex15_hash(F.concat(F.lit(f"{b}:"), *parts))
+
+    bands = F.array(*[band(b) for b in range(4)])
+    return F.when(F.size("_hs") > 0, bands), hashes
+
+
+@register("st2_stream_near_dup", _st2_oracle_sql())
+def st2_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming near-dup — an ACTUAL Structured Streaming
+    run (applyInPandasWithState, Trigger.AvailableNow): the corpus is
+    split into two parquet files (even doc_ids first, mtime-staggered so
+    the file source orders them), streamed one file per micro-batch
+    through near_dup_stream's bucket-keyed state, and the per-batch
+    fold_bucket_verdicts results are collected. The oracle replays the
+    identical two-batch semantics as batch SQL (earlier-batch bucket
+    wins unconditionally; within a batch the min doc_id per bucket
+    survives). Reference analog: ST2 persisted-state incremental runs
+    (/root/reference/config/config.yml:73) with V4 drop-rule semantics.
+    """
+    import os as _osm
+    import shutil
+    import tempfile
+    import time
+
+    from gemproc2caom2_spark.streaming.stateful import (
+        fold_bucket_verdicts,
+        near_dup_stream,
+    )
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    bands, hashes = _st2_bands_expr()
+    src_rows = d.select(
+        "doc_id", hashes.alias("_hs")
+    ).select("doc_id", bands.alias("lsh_bands"))
+
+    root = tempfile.mkdtemp(prefix="gemproc_st2_")
+    in_dir = _osm.path.join(root, "in")
+    ckpt = _osm.path.join(root, "ckpt")
+    try:
+        src_rows.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        first_files = [
+            _osm.path.join(in_dir, f)
+            for f in _osm.listdir(in_dir)
+            if f.endswith(".parquet")
+        ]
+        past = time.time() - 120
+        for f in first_files:
+            _osm.utime(f, (past, past))
+        src_rows.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+        stream = (
+            spark.readStream.schema(src_rows.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        collected: list[tuple[int, bool]] = []
+
+        def sink(batch_df, _batch_id):
+            for r in (
+                fold_bucket_verdicts(batch_df, key_col="doc_id")
+                .select("doc_id", "is_duplicate")
+                .collect()
+            ):
+                collected.append((r.doc_id, bool(r.is_duplicate)))
+
+        q = (
+            near_dup_stream(stream, key_col="doc_id")
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.createDataFrame(
+            collected, "doc_id long, is_duplicate boolean"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
