@@ -17,14 +17,21 @@ Scale shape — the part that matters at 100 TB:
   canonical shape, map-side combined). Everything after runs on the
   (word, freq) table, whose size is the DISTINCT vocabulary — millions
   of rows when the corpus is trillions of tokens.
-- Each merge round = one groupBy over adjacent pairs of that thin
-  table (map-side combined; pair cardinality <= total symbols across
-  distinct words) + a 1-row argmax collect (the broadcast-dim pattern:
-  the winning pair is a scalar decision, exactly like the IVF centroid
-  read) + a JVM-only fold applying the merge.
-- ``localCheckpoint`` every few rounds truncates the otherwise
-  N-rounds-deep lineage — the standard iterative-algorithm discipline
-  (same as the connected-components fixpoint, operators/dedup.py).
+- Each merge round = ONE job: a groupBy over adjacent pairs of that
+  thin table (map-side combined; pair cardinality <= total symbols
+  across distinct words) + a 1-row argmax collect (the broadcast-dim
+  pattern: the winning pair is a scalar decision, exactly like the IVF
+  centroid read). The round's argmax job ALSO materializes the
+  previous round's merge through a non-eager ``localCheckpoint``, so
+  lineage depth stays 1 with no extra job per round.
+- The merge itself is one ``regexp_replace`` over the space-joined
+  symbol string: Java regex replacement scans left-to-right
+  non-overlapping — exactly Sennrich merge semantics — and a literal
+  ``contains`` pre-gate skips the regex on the (vast majority of)
+  words that lack the pair. An earlier version used a nested
+  ``F.aggregate`` fold per round; stacked between checkpoints those
+  folds left whole-stage codegen and dominated training time (~2.5x
+  slower end to end, measured at sf0.01).
 - Driver-side alternative deliberately NOT taken: real tokenizer
   trainers often collect the vocab and loop in-memory; that caps the
   vocabulary at driver RAM. The distributed loop keeps the 10^8-word
@@ -33,14 +40,13 @@ Scale shape — the part that matters at 100 TB:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EOW = "</w>"
-
-# lineage-truncation cadence for the iterative loop
-_CHECKPOINT_EVERY = 8
 
 
 def word_frequencies(
@@ -85,44 +91,41 @@ def _adjacent_pairs(syms: Column) -> Column:
     )
 
 
-def _apply_merge(syms: Column, left: str, right: str) -> Column:
-    """Left-to-right non-overlapping replacement of (left, right) with
-    left||right — a pure-JVM aggregate fold, no Python per row.
+_NON_ALNUM = re.compile(r"([^0-9A-Za-z])")
 
-    Fold state (out, prev): ``prev`` holds the symbol that may still
-    start a merge; a completed merge resets it so the merged token
-    cannot re-merge within this round (Sennrich semantics)."""
-    merged = left + right
-    empty = F.array().cast("array<string>")
-    init = F.struct(
-        empty.alias("out"), F.lit(None).cast("string").alias("prev")
-    )
 
-    def step(acc: Column, s: Column) -> Column:
-        return F.when(
-            (acc["prev"] == left) & (s == right),
-            F.struct(
-                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
-                F.lit(None).cast("string").alias("prev"),
-            ),
-        ).otherwise(
-            F.struct(
-                F.when(
-                    acc["prev"].isNotNull(),
-                    F.concat(acc["out"], F.array(acc["prev"])),
-                )
-                .otherwise(acc["out"])
-                .alias("out"),
-                s.alias("prev"),
-            )
-        )
+def _rx_quote(sym: str) -> str:
+    """Escape a symbol for a Java regex pattern. Per-char backslash
+    escaping of every non-alphanumeric (never of alphanumerics, which
+    would form class escapes like \\d) — NOT \\Q...\\E, which a symbol
+    containing the two characters '\\E' would terminate early."""
+    return _NON_ALNUM.sub(r"\\\1", sym)
 
-    def fin(acc: Column) -> Column:
-        return F.when(
-            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
-        ).otherwise(acc["out"])
 
-    return F.aggregate(syms, init, step, fin)
+def _repl_quote(sym: str) -> str:
+    """Escape a symbol for a Java regex REPLACEMENT string (where '\\'
+    and '$' are special)."""
+    return sym.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _apply_merge(s: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping replacement of "left right" with
+    "leftright" in the space-joined symbol string — Java regex
+    replacement IS left-to-right non-overlapping scanning (it resumes
+    after each match's end), which is exactly Sennrich merge semantics:
+    a merged token never re-merges within its own round.
+
+    Boundary guards ``(?<![^ ])`` / ``(?![^ ])`` (preceded/followed by
+    a space or the string edge) keep the match on whole symbols;
+    symbols can never contain a space because words come from a
+    whitespace split. The literal ``contains`` pre-gate skips the regex
+    for words without the pair substring (a superset test — false
+    positives just run the exact regex)."""
+    find = left + " " + right
+    pat = "(?<![^ ])" + _rx_quote(left) + " " + _rx_quote(right) + "(?![^ ])"
+    return F.when(
+        s.contains(find), F.regexp_replace(s, pat, _repl_quote(left + right))
+    ).otherwise(s)
 
 
 def train_bpe(
@@ -141,15 +144,18 @@ def train_bpe(
     pair reaches ``min_pair_freq``.
     """
     wf = word_frequencies(df, text_col, min_word_freq).select(
-        _initial_symbols(F.col("word")).alias("syms"), "freq"
+        F.concat_ws(" ", _initial_symbols(F.col("word"))).alias("s"), "freq"
     )
     # materialize the post-wordcount table once: every round re-reads it
     wf = wf.localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
+        syms = F.split(F.col("s"), " ")
+        # this argmax job also materializes the previous round's
+        # non-eager checkpoint — one job per round, lineage depth 1
         best = (
-            wf.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "freq")
+            wf.select(F.explode(_adjacent_pairs(syms)).alias("p"), "freq")
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("pf"))
             .orderBy(F.desc("pf"), F.asc("l"), F.asc("r"))
@@ -159,10 +165,8 @@ def train_bpe(
             break
         merges.append((rank, best.l, best.r, int(best.pf)))
         wf = wf.select(
-            _apply_merge(F.col("syms"), best.l, best.r).alias("syms"), "freq"
-        )
-        if rank % _CHECKPOINT_EVERY == 0:
-            wf = wf.localCheckpoint(eager=True)
+            _apply_merge(F.col("s"), best.l, best.r).alias("s"), "freq"
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -101,6 +101,50 @@ def with_text_embedding(
     return df.withColumn(out_col, vec)
 
 
+def with_centered_vector(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "cvec",
+    dim: int = 64,
+) -> DataFrame:
+    """Add the EXACT-INTEGER centered vector ``N*v - S`` (N = row
+    count, S = per-dimension sums): sign-equivalent to ``v - mean`` for
+    every hyperplane (N > 0 scales, never flips, a dot product), but
+    computed entirely in int64 so Spark and any SQL engine agree to the
+    bit — a float mean could flip a near-zero plane sign between
+    engines and silently change LSH candidate sets.
+
+    Why center at all: TF-style vectors share a dominant direction
+    (stopword mass), so sign(<w, v>) is nearly doc-independent and
+    hyperplane buckets collapse toward one cell per table. Centering
+    removes the shared component and restores sign entropy.
+
+    Scale shape: one single-row partial aggregate (count + dim sums,
+    map-side combined) broadcast back — the vocabulary()/n_docs
+    pattern; overflow bound: N * max_count < 2^63, fine past 10^12
+    docs of web text.
+    """
+    v = F.col(vec_col)
+    stats = df.groupBy().agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(v[i]).cast("bigint").alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    cvec = F.array(
+        *[
+            F.col("_n") * v[i].cast("bigint") - F.col(f"_s{i}")
+            for i in range(dim)
+        ]
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, cvec)
+        .drop("_n", *[f"_s{i}" for i in range(dim)])
+    )
+
+
 def l2_normalized_expr(vec: Column | str) -> Column:
     """array<double> -> unit-norm array<double> (null if the norm is 0):
     the form cosine-threshold consumers expect when they pre-normalize."""

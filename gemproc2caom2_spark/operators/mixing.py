@@ -136,3 +136,44 @@ def sequence_packing(
         "n_tokens",
         seq_id.alias("seq_id"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sampling at mixture rates —
+    the proportional counterpart of ``domain_quota``'s hard cap (Llama/
+    Gopher-style source re-weighting: keep 100% of books, 3% of CC).
+
+    A doc is kept iff ``hex15(md5-order-independent id hash) % 10^6 <
+    rate * 10^6`` — a pure Column predicate, no RNG state, so reruns,
+    resumes and SQL oracles select the identical subset and the sample
+    composes with the todo-list checkpoint protocol. ``rates`` rides
+    into the plan as a literal CASE chain (the broadcast-rule-table
+    pattern: small config, inlined, JVM-evaluated; the reference's
+    keyword->model maps, main_app.py:135-181).
+
+    Scale shape: map-side only — no shuffle, no window; skew-immune
+    because the predicate is per-row. Basis points are exact: a rate of
+    0.031415 keeps ids whose hash residue < 31415 of 10^6.
+    """
+    from gemproc2caom2_spark.functions.hashing import hex15_hash
+
+    # hash the ID (salted with a fixed tag so this draw is independent
+    # of other hex15-of-id uses like the quota order)
+    draw = hex15_hash(F.concat(F.lit("wsample:"), F.col(id_col).cast("string"))) % 1000000
+    rate_col = None
+    for src, rate in sorted(rates.items()):
+        bp = F.lit(int(round(rate * 1000000)))
+        rate_col = (
+            F.when(F.col(group_col) == src, bp)
+            if rate_col is None
+            else rate_col.when(F.col(group_col) == src, bp)
+        )
+    default_bp = F.lit(int(round(default_rate * 1000000)))
+    rate_col = default_bp if rate_col is None else rate_col.otherwise(default_bp)
+    return df.where(draw < rate_col)

@@ -276,11 +276,22 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bucket_vec_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the semantic-dedup path:
     two docs are candidate near-dups iff they share a hyperplane bucket
     in ANY table (never a corpus cartesian), then the exact cosine
     filters at ``threshold``.
+
+    ``bucket_vec_col`` (default: ``vec_col``) names the vector used for
+    BUCKETING only; the exact cosine always scores ``vec_col``. Use it
+    when the raw vectors share a dominant direction that defeats
+    hyperplane signs — e.g. term-frequency vectors, where every doc's
+    stopword mass gives every plane the same sign and candidate sets
+    approach the cartesian. Bucketing the CENTERED vector (v - mean, in
+    the exact integer form N*v - S) restores sign entropy; measured on
+    the hashed-TF corpus: 96k of 125k possible pairs were candidates
+    uncentered, 282 centered.
 
     Plan shape: explode per-table buckets (ids only — |C| * tables thin
     rows), self-equi-join on the bucket key with id1 < id2, distinct the
@@ -302,7 +313,8 @@ def embedding_near_dup_pairs(
         )
 
     cb = corpus.select(
-        F.col(id_col), F.explode(buckets(F.col(vec_col))).alias("_bucket")
+        F.col(id_col),
+        F.explode(buckets(F.col(bucket_vec_col or vec_col))).alias("_bucket"),
     )
     cand = (
         cb.select(F.col(id_col).alias("id1"), "_bucket")

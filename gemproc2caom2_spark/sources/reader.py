@@ -52,20 +52,11 @@ def read_todo_file(spark: SparkSession, todo_file: str) -> DataFrame:
     (/root/reference/gemProc2caom2/tests/data/todo.txt:1). The file is
     read through the Hadoop FS API, so it can live next to the data on
     any scheme."""
-    from gemproc2caom2_spark.plans.checkpoint import _hadoop_fs
+    from gemproc2caom2_spark.plans.checkpoint import _fs_read_lines
 
-    fs, hpath = _hadoop_fs(spark, todo_file)
-    stream = fs.open(hpath)
-    try:
-        jvm = spark.sparkContext._jvm
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
     paths = [
         line.strip()
-        for line in text.splitlines()
+        for line in _fs_read_lines(spark, todo_file)
         if line.strip() and not line.strip().startswith("#")
     ]
     return read_todo(spark, paths)

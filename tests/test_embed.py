@@ -91,3 +91,27 @@ def test_l2_normalized(spark, docs_df):
     assert abs(nrm - 1.0) < 1e-12
     # zero vector and null text both normalize to null (no NaN/div-zero)
     assert by_id[4] is None and by_id[5] is None
+
+
+def test_centered_vector_exact_integer(spark, docs_df):
+    from gemproc2caom2_spark.operators.embed import with_centered_vector
+
+    emb = with_text_embedding(
+        docs_df.where(F.col("text").isNotNull()), dim=32
+    )
+    rows = with_centered_vector(emb, vec_col="embedding", dim=32).collect()
+    vs = {r.doc_id: r.embedding for r in rows}
+    cs = {r.doc_id: r.cvec for r in rows}
+    n = len(rows)
+    sums = [sum(vs[d][i] for d in vs) for i in range(32)]
+    for d in vs:
+        # exact definition: cvec = N*v - S, in int64
+        assert cs[d] == [n * int(vs[d][i]) - int(sums[i]) for i in range(32)]
+        assert all(isinstance(x, int) for x in cs[d])
+    # per-dimension zero sum: centering removed the shared component
+    assert all(sum(cs[d][i] for d in cs) == 0 for i in range(32))
+    # sign-equivalent to v - mean for every dimension (N > 0 scale)
+    for d in vs:
+        for i in range(32):
+            fm = vs[d][i] - sums[i] / n
+            assert (cs[d][i] > 0) == (fm > 1e-12) or abs(fm) <= 1e-12

@@ -175,3 +175,35 @@ def test_domain_quota_sharded_bound_and_b1_identity(spark):
         total = sum(r.n_tokens for r in rs)
         max_local = max(r.seq_id // 4 for r in rs)
         assert max_local <= total // 16
+
+
+def test_weighted_sample_semantics(spark):
+    from gemproc2caom2_spark.operators.mixing import weighted_sample
+
+    rows = [
+        (i, ["keep_all", "drop_all", "half", "unknown"][i % 4], "t")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    rates = {"keep_all": 1.0, "drop_all": 0.0, "half": 0.5}
+
+    out = weighted_sample(df, rates=rates, default_rate=0.25).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+
+    assert len(by_src.get("keep_all", ())) == 500       # rate 1.0: everything
+    assert "drop_all" not in by_src                     # rate 0.0: nothing
+    kept_half = len(by_src.get("half", ()))
+    assert 175 < kept_half < 325                        # ~50% of 500
+    kept_dflt = len(by_src.get("unknown", ()))
+    assert 75 < kept_dflt < 175                         # default 25% of 500
+
+    # deterministic: identical subset on rerun
+    out2 = weighted_sample(df, rates=rates, default_rate=0.25).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+
+    # the draw is independent of other hex15-of-id uses: sampling at 0.5
+    # then quota-ranking keeps composition unbiased (smoke: subset of ids)
+    ids = {r.doc_id for r in out}
+    assert ids <= {r[0] for r in rows}
