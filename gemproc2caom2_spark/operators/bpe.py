@@ -128,12 +128,59 @@ def _apply_merge(s: Column, left: str, right: str) -> Column:
     ).otherwise(s)
 
 
+def _merge_word_local(syms: list[str], left: str, right: str) -> list[str]:
+    """Driver-side left-to-right non-overlapping merge — the same
+    Sennrich semantics as the distributed ``_apply_merge`` regex."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_bpe_local(
+    rows: list[tuple[str, int]], num_merges: int, min_pair_freq: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop over a COLLECTED (syms_string, freq) vocabulary —
+    taken when the distinct vocab fits in driver memory (the broadcast-
+    dim pattern: like the IVF centroid read, the vocab table is a model
+    statistic, not corpus data). Identical counts and tie-break (freq
+    desc, left asc, right asc) as the distributed loop."""
+    vocab = [(s.split(" "), f) for s, f in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        (l, r), pf = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pf < min_pair_freq:
+            break
+        merges.append((rank, l, r, pf))
+        vocab = [
+            (_merge_word_local(s, l, r) if l in s else s, f)
+            for s, f in vocab
+        ]
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 50,
     min_word_freq: int = 1,
     min_pair_freq: int = 2,
+    driver_vocab_threshold: int = 200_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn up to ``num_merges`` BPE merges from the corpus.
 
@@ -142,12 +189,25 @@ def train_bpe(
     (tiny, broadcast to consumers; the train-store-probe protocol's
     store step is the caller's choice of sink). Stops early when no
     pair reaches ``min_pair_freq``.
-    """
+
+    Hybrid execution: the corpus-sized wordcount shuffle is always
+    distributed, but merge decisions depend ONLY on the resulting
+    (word, freq) table — the distinct vocabulary, not the corpus. When
+    that table has <= ``driver_vocab_threshold`` rows it is collected
+    once and the loop runs locally (each distributed round costs 2
+    fixed job launches, pure overhead against a small vocab); above the
+    threshold — the 10^8-word multilingual case — the loop stays on the
+    cluster in vocab-sized rounds. Pass 0 to force the distributed
+    path."""
     wf = word_frequencies(df, text_col, min_word_freq).select(
         F.concat_ws(" ", _initial_symbols(F.col("word"))).alias("s"), "freq"
     )
     # materialize the post-wordcount table once: every round re-reads it
     wf = wf.localCheckpoint(eager=True)
+
+    if wf.count() <= driver_vocab_threshold:
+        rows = [(r.s, int(r.freq)) for r in wf.collect()]
+        return _train_bpe_local(rows, num_merges, min_pair_freq)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):

@@ -41,10 +41,15 @@ def test_word_frequencies_parity(toy):
 def test_train_matches_python_mirror_toy(toy):
     texts = [r.text for r in toy.select("text").collect()]
     expect = bpe_train_python(bpe_word_freq_python(texts), num_merges=20)
-    got = train_bpe(toy, num_merges=20)
-    assert got == expect
+    # both execution paths of the hybrid: driver-local loop (default
+    # threshold) and the forced distributed loop (threshold=0)
+    got_local = train_bpe(toy, num_merges=20)
+    got_dist = train_bpe(toy, num_merges=20, driver_vocab_threshold=0)
+    assert got_local == expect
+    assert got_dist == expect
     # classic Sennrich example head: ('e','s') then ('es','t</w>')
-    assert got[0][1:3] == ("e", "s") and got[1][1:3] == ("es", "t" + EOW)
+    assert got_local[0][1:3] == ("e", "s")
+    assert got_local[1][1:3] == ("es", "t" + EOW)
 
 
 def test_train_matches_python_mirror_corpus(spark, sf_dir):
@@ -53,8 +58,9 @@ def test_train_matches_python_mirror_corpus(spark, sf_dir):
         "text"
     ].to_pylist()
     expect = bpe_train_python(bpe_word_freq_python(texts), num_merges=40)
-    got = train_bpe(d, num_merges=40)
-    assert got == expect
+    assert train_bpe(d, num_merges=40) == expect
+    # the distributed loop derives the identical merge list
+    assert train_bpe(d, num_merges=40, driver_vocab_threshold=0) == expect
 
 
 def test_early_stop_when_no_repeating_pair(spark):
