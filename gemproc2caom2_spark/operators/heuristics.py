@@ -134,6 +134,48 @@ def with_quality(df: DataFrame, text_col: str = "text_extracted",
     return df.withColumn(out_col, quality_struct(text_col))
 
 
+# Duplicate word-n-gram fraction thresholds (the Gopher repetition
+# filters use char-weighted fractions 0.20/0.18/0.16 for 2/3/4-grams;
+# these are the count-fraction analogs at the same cut points)
+REPETITION_THRESHOLDS: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def repetition_struct(
+    text: Column | str, ns: tuple[int, ...] = (2, 3, 4), cap: int = ANALYSIS_CAP
+) -> Column:
+    """Within-document repetition metrics — the Gopher duplicate-n-gram
+    family that ``repeated_line_frac`` covers only at line granularity:
+    for each n in ``ns``, the total word-n-gram count and the fraction
+    that are duplicates of an earlier n-gram (1 - distinct/total), plus
+    the combined ``is_repetitive`` flag at REPETITION_THRESHOLDS.
+
+    Pure Column expressions over the ANALYSIS_CAP prefix (the same
+    worst-case-cost bound as quality_struct); the shingle arrays reuse
+    word_shingles' O(n) zip_with composition. Null/empty/too-short text
+    yields 0 n-grams and null fractions (missing-input guard V7), so
+    the flag never fires spuriously. Fractions are rounded to 6 places
+    BEFORE the threshold compare so Spark and any SQL oracle flag the
+    identical set. Reference analog: the fitness drop rules
+    (/root/reference/gemProc2caom2/main_app.py:221-224)."""
+    t_in = F.col(text) if isinstance(text, str) else text
+    t = F.substring(t_in, 1, cap)
+    fields: list[Column] = []
+    rep = F.lit(False)
+    for k in ns:
+        g = TX.word_shingles(t, k=k)
+        tot = F.size(g)
+        frac = F.when(
+            tot > 0, F.round(1.0 - F.size(F.array_distinct(g)) / tot, 6)
+        )
+        fields.append(tot.cast("long").alias(f"n_{k}grams"))
+        fields.append(frac.alias(f"dup_{k}gram_frac"))
+        rep = rep | F.coalesce(
+            frac > F.lit(REPETITION_THRESHOLDS[k]), F.lit(False)
+        )
+    fields.append(rep.alias("is_repetitive"))
+    return F.struct(*fields)
+
+
 def placeholder_flag(text: Column | str, rules: RuleConfig = DEFAULT_RULES) -> Column:
     """Sentinel/garbage detection (the delta==1.0 analog): true when the
     doc is dominated by a known placeholder marker. Scans only the

@@ -361,3 +361,103 @@ def run_incremental(
     # DataFrame that no longer carries the persisted-frame handle.
     unpersist_curate_cache(base)
     return run_id, n
+
+
+# ---------------------------------------------------------------------------
+# K1 on a real Iceberg catalog (feature-gated: needs the Iceberg runtime
+# jars + a configured catalog, neither present in this sandbox)
+# ---------------------------------------------------------------------------
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath.
+    The gate for ``run_incremental_iceberg`` — checked explicitly so a
+    deployment without the jars gets a clear capability error instead
+    of a ClassNotFoundException from deep inside a writeTo plan."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def run_incremental_iceberg(
+    spark: SparkSession,
+    input_df: DataFrame,
+    table_prefix: str,
+    run_id: str | None = None,
+    rules: RuleConfig = DEFAULT_RULES,
+    num_partitions: int | None = None,
+) -> tuple[str, int]:
+    """``run_incremental`` with the parquet+marker ledger replaced by
+    Iceberg tables (``<prefix>_results`` / ``<prefix>_keys`` /
+    ``<prefix>_audit``): resume anti-joins the keys TABLE, commits are
+    ``writeTo(...).append()`` snapshot commits, and compaction/
+    expiration become the catalog's own maintenance procedures. Each
+    append is atomic per table (Iceberg snapshot isolation); the
+    ``run_id`` column in every row is the cross-table fence — a run
+    that died between appends is detected by run_ids present in
+    results but absent from keys, and re-appending the same run_id is
+    idempotent to readers that (like resume) key off the keys table.
+
+    Raises RuntimeError when the Iceberg runtime is absent (this
+    sandbox: no jars) — the documented fallback is ``run_incremental``,
+    whose ``_COMMITTED`` marker protocol mirrors the snapshot commit.
+    Reference ingest analog: /root/reference/config/config.yml:78-81.
+    """
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath; use run_incremental "
+            "(parquet + _COMMITTED marker ledger) instead"
+        )
+    run_id = run_id or uuid.uuid4().hex[:12]
+    results_t, keys_t = f"{table_prefix}_results", f"{table_prefix}_keys"
+
+    def _table_exists(name: str) -> bool:
+        try:
+            spark.table(name)
+            return True
+        except Exception:
+            return False
+
+    todo = input_df
+    if _table_exists(keys_t):
+        from gemproc2caom2_spark.functions.hashing import url_normalize
+
+        done = spark.table(keys_t)
+        todo = (
+            input_df.withColumn("_uh", F.xxhash64(url_normalize("url")))
+            .join(
+                done.select(F.col("url_hash").alias("_uh")).distinct(),
+                on="_uh",
+                how="left_anti",
+            )
+            .drop("_uh")
+        )
+
+    base = curate(todo, rules=rules, num_partitions=num_partitions, emit_bands=True)
+    rid = F.lit(run_id).alias("run_id")
+    results = base.drop("lsh_bands").select("*", rid)
+    keys = base.select("url_hash", "lsh_bands").select("*", rid)
+
+    def _append(df: DataFrame, name: str) -> None:
+        if _table_exists(name):
+            df.writeTo(name).append()
+        else:
+            df.writeTo(name).create()
+
+    _append(results, results_t)
+    n = spark.table(results_t).where(F.col("run_id") == run_id).count()
+    _append(keys, keys_t)
+    _append(
+        partition_metrics(
+            spark.table(results_t).where(F.col("run_id") == run_id),
+            run_id,
+            stage="curate",
+        ),
+        f"{table_prefix}_audit",
+    )
+    unpersist_curate_cache(base)
+    return run_id, n

@@ -1698,6 +1698,49 @@ def tx9_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keywords(d, text_col="text", id_col="doc_id", k=3)
 
 
+def _tx10_oracle_sql() -> str:
+    """DuckDB rendering of repetition_struct: same capped tokenization
+    as the minhash shingles (_SQL_WORDS over the 16384-char prefix),
+    same rounded-before-compare duplicate fractions."""
+    from gemproc2caom2_spark.operators.heuristics import REPETITION_THRESHOLDS
+
+    ws = "regexp_split_to_array(trim(lower(substring(text, 1, 16384))), '\\s+')"
+    cols, flags = [], []
+    for k in (2, 3, 4):
+        parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(k))
+        g = f"list_transform(range(1, greatest(len(ws) - {k - 1}, 0) + 1), i -> {parts})"
+        cols.append(f"len({g})::BIGINT AS n_{k}grams")
+        cols.append(
+            f"CASE WHEN len({g}) > 0 THEN round(1.0 - len(list_distinct({g}))::DOUBLE / len({g}), 6) END AS dup_{k}gram_frac"
+        )
+        flags.append(
+            f"coalesce(dup_{k}gram_frac > {REPETITION_THRESHOLDS[k]}, false)"
+        )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN []::VARCHAR[] ELSE {ws} END AS ws
+      FROM documents),
+    m AS (SELECT doc_id, {", ".join(cols)} FROM w)
+    SELECT *, ({" OR ".join(flags)}) AS is_repetitive FROM m
+    """
+
+
+@register("tx10_repetition_metrics", _tx10_oracle_sql())
+def tx10_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition metrics (Gopher duplicate-n-gram family):
+    per doc, 2/3/4-gram totals, duplicate fractions, and the combined
+    is_repetitive flag — operators/heuristics.repetition_struct, pure
+    Column exprs over the ANALYSIS_CAP prefix, no shuffle at all (a
+    map-only stage like tx2)."""
+    from gemproc2caom2_spark.operators.heuristics import repetition_struct
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return d.select("doc_id", repetition_struct("text").alias("r")).select(
+        "doc_id", "r.*"
+    )
+
+
 @register(
     "bpe1_merge_train",
     f"""

@@ -114,3 +114,37 @@ def test_scrub_gated_equals_ungated(spark):
             .count()
         )
         assert bad == 0
+
+
+def test_repetition_struct_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from gemproc2caom2_spark.operators.heuristics import repetition_struct
+
+    rows = [
+        # "buy now" repeated 10x: 19 bigrams, only 2 distinct -> heavy dup
+        (0, " ".join(["buy now"] * 10)),
+        (1, "each word here appears exactly once in this sentence"),
+        (2, "one"),        # < 2 words: no n-grams, null fracs, no flag
+        (3, ""),           # empty
+        (4, None),         # null
+        (5, "Tick TOCK tick tock tick tock tick tock"),  # case-folds
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", repetition_struct("text").alias("r")
+        ).select("doc_id", "r.*").collect()
+    }
+
+    assert out[0].n_2grams == 19 and out[0].dup_2gram_frac > 0.85
+    assert out[0].is_repetitive is True
+    assert out[1].dup_2gram_frac == 0.0 and out[1].is_repetitive is False
+    for d in (2, 3, 4):
+        r = out[d]
+        assert r.n_2grams == 0 and r.dup_2gram_frac is None
+        assert r.n_3grams == 0 and r.n_4grams == 0
+        assert r.is_repetitive is False      # guard: nulls never flag
+    # lowercased tokenization: "Tick TOCK" == "tick tock"
+    assert out[5].dup_2gram_frac > 0.5 and out[5].is_repetitive is True
