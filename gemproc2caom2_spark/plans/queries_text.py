@@ -46,6 +46,7 @@ _DUP_FIXTURE = _os.path.join(_FIXTURE_DIR, "lsh_duplicates.parquet")
 _IVF_FIXTURE = _os.path.join(_FIXTURE_DIR, "ivf_centers.parquet")
 _QLR_FIXTURE = _os.path.join(_FIXTURE_DIR, "quality_lr_weights.parquet")
 _BPE_FIXTURE = _os.path.join(_FIXTURE_DIR, "bpe_merges.parquet")
+_BPE_ENCODE_FIXTURE = _os.path.join(_FIXTURE_DIR, "bpe_encoded.parquet")
 
 
 def _perm_ab(i: int) -> tuple[int, int]:
@@ -1765,6 +1766,40 @@ def bpe1_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     return merges_df(spark, train_bpe(d, text_col="text", num_merges=40))
+
+
+@register(
+    "bpe2_encode",
+    f"""
+    SELECT doc_id, n_tokens, tokens_md5
+    FROM read_parquet('{_BPE_ENCODE_FIXTURE}') fx
+    WHERE fx.corpus_md5 = (SELECT md5(string_agg(md5(coalesce(text, '')),
+                                                 '' ORDER BY doc_id))
+                           FROM documents)
+    """,
+)
+def bpe2_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tokenizer train->encode composition from text: train the 40
+    merges (bpe1's trainer), then greedy lowest-rank BPE inference per
+    doc (operators/bpe.encode_bpe, Arrow-batched; the merge table rides
+    in the UDF closure — the broadcast-model pattern). Output per doc:
+    token count + md5 of the \\x1f-joined token stream, compared against
+    the INDEPENDENT pure-Python encoder's pinned fixture
+    (tests/gen_fixtures.py _gen_bpe_encoded), keyed by corpus
+    fingerprint. Completes the tokenizer-training tier: bpe1 pins the
+    learned model, bpe2 pins its application."""
+    from gemproc2caom2_spark.operators.bpe import encode_bpe, train_bpe
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    merges = train_bpe(d, text_col="text", num_merges=40)
+    enc = encode_bpe(d.where(F.col("text").isNotNull()), merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.encode(F.concat_ws("\x1f", "bpe_tokens"), "utf-8")).alias(
+            "tokens_md5"
+        ),
+    )
 
 
 # ===========================================================================

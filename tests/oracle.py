@@ -185,6 +185,35 @@ def bpe_train_python(
     return merges
 
 
+def bpe_encode_python(
+    text: str | None, merges: list[tuple[int, str, str, int]]
+) -> list[str] | None:
+    """Greedy BPE inference mirror: per word, repeatedly apply the
+    LOWEST-rank applicable merge (leftmost occurrence on rank ties)
+    until none applies — independent of operators.bpe.encode_bpe."""
+    if text is None:
+        return None
+    rank: dict[tuple[str, str], int] = {
+        (l, r): k for (k, l, r, _f) in merges
+    }
+    toks: list[str] = []
+    for w in text.strip(" ").lower().split():
+        syms = list(w)
+        syms[-1] += BPE_EOW
+        while True:
+            choice = None
+            for i in range(len(syms) - 1):
+                k = rank.get((syms[i], syms[i + 1]))
+                if k is not None and (choice is None or k < choice[0]):
+                    choice = (k, i)
+            if choice is None:
+                break
+            i = choice[1]
+            syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2:]
+        toks.extend(syms)
+    return toks
+
+
 def bpe_word_freq_python(texts: list[str | None]) -> dict[str, int]:
     """Word frequencies with the engine's tokenization (trim spaces,
     lower, whitespace split)."""
