@@ -15,6 +15,8 @@ training-data curation. Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -129,6 +131,73 @@ def hyperplane_bucket_expr(
     for i in range(bits):
         bucket = bucket + F.when(plane_dot(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def np_bucket_udf(bits: int, tables: int, dim: int):
+    """All-tables hyperplane buckets as ONE vectorized Arrow kernel —
+    for INTEGER-VALUED vectors only (TF counts, the centered N*v - S
+    form). Returns a pandas_udf: array<numeric> -> array<bigint> of
+    ``tables`` bucket ids with the table index baked into bits 60+.
+
+    Bit-exactness argument (why numpy may replace the sequential fold
+    here): with ±1 plane weights and integer components, every product
+    and every partial sum is an integer; as long as the running values
+    stay below 2^53 they are EXACT in float64 under ANY summation
+    order, so the matrix product's sign equals the sequential fold's
+    sign bit-for-bit (verified: 0 mismatches over 40k bucket rows).
+    Contract: dim * max|v_j| < 2^53 — holds past 10^12 docs for TF-
+    derived vectors. Float-valued vectors must keep the Column fold
+    (summation order changes last-ulp results and near-zero signs).
+
+    Measured at sf0.1 (5000 docs, 8 tables x 6 bits, dim 64): 10.1 s
+    interpreted fold -> 0.65 s."""
+    w = np.array(
+        [plane_weights(bits, t, dim) for t in range(tables)], dtype=np.float64
+    ).reshape(tables * bits, dim).T
+    pows = (1 << np.arange(bits)).astype(np.int64)
+    toff = np.arange(tables, dtype=np.int64) << 60
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        out: list = []
+        mask = vs.notna()
+        if mask.any():
+            m = np.asarray(vs[mask].tolist(), dtype=np.float64)
+            s = (m @ w) >= 0
+            codes = (
+                s.reshape(len(m), tables, bits) * pows
+            ).sum(axis=2).astype(np.int64) + toff
+        it = iter(codes) if mask.any() else iter(())
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    return _buckets
+
+
+def np_int_cosine_udf():
+    """Vectorized exact cosine for INTEGER-VALUED vectors (same
+    exactness argument as np_bucket_udf: integer dots are exact in
+    float64 below 2^53 under any summation order; sqrt and division
+    are IEEE-deterministic single ops). pandas_udf (v1, v2) -> double,
+    null if either vector is null or zero."""
+    @F.pandas_udf("double")
+    def _cos(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        mask = v1.notna() & v2.notna()
+        res = np.full(len(v1), np.nan)
+        if mask.any():
+            a = np.asarray(v1[mask].tolist(), dtype=np.float64)
+            b = np.asarray(v2[mask].tolist(), dtype=np.float64)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.einsum("ij,ij->i", a, b) / denom
+            c[denom == 0] = np.nan
+            res[mask.to_numpy()] = c
+        return pd.Series(res)
+
+    return _cos
 
 
 def ivf_topk(
@@ -277,6 +346,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     bucket_vec_col: str | None = None,
+    int_exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the semantic-dedup path:
     two docs are candidate near-dups iff they share a hyperplane bucket
@@ -300,22 +370,36 @@ def embedding_near_dup_pairs(
     by bucket occupancy (|C|^2 * tables / 2^bits in the uniform case) —
     raise ``bits`` as the corpus grows to keep buckets small; recall per
     true pair is 1-(1-(1-θ/π)^bits)^tables. Returns (id1, id2, cosine).
-    """
+
+    ``int_exact=True`` switches bucketing AND scoring to vectorized
+    Arrow/numpy kernels — ONLY valid for integer-valued vectors (TF
+    counts, centered N*v - S), where integer arithmetic below 2^53 is
+    exact in float64 under any summation order, so results stay
+    bit-identical to the Column folds and to SQL oracles (see
+    np_bucket_udf). On template-clustered web text the candidate pool
+    is dominated by genuinely-similar pairs, so scoring cost is
+    irreducible by more bits — making the kernel fast is the lever:
+    emb2 at sf0.1 measured 91 s (interpreted folds) -> 14 s."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
 
-    def buckets(col: Column) -> Column:
-        return F.array(
-            *[
-                hyperplane_bucket_expr(col, bits, t, dim) + F.lit(t << 60)
-                for t in range(tables)
-            ]
+    if int_exact:
+        bucket_arr = np_bucket_udf(bits, tables, dim)(
+            F.col(bucket_vec_col or vec_col)
         )
+    else:
 
-    cb = corpus.select(
-        F.col(id_col),
-        F.explode(buckets(F.col(bucket_vec_col or vec_col))).alias("_bucket"),
-    )
+        def buckets(col: Column) -> Column:
+            return F.array(
+                *[
+                    hyperplane_bucket_expr(col, bits, t, dim) + F.lit(t << 60)
+                    for t in range(tables)
+                ]
+            )
+
+        bucket_arr = buckets(F.col(bucket_vec_col or vec_col))
+
+    cb = corpus.select(F.col(id_col), F.explode(bucket_arr).alias("_bucket"))
     cand = (
         cb.select(F.col(id_col).alias("id1"), "_bucket")
         .join(cb.select(F.col(id_col).alias("id2"), "_bucket"), on="_bucket")
@@ -323,6 +407,21 @@ def embedding_near_dup_pairs(
         .select("id1", "id2")
         .distinct()
     )
+    if int_exact:
+        e1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+        e2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+        scored = (
+            cand.join(e1, on="id1")
+            .join(e2, on="id2")
+            .select(
+                "id1",
+                "id2",
+                F.round(
+                    np_int_cosine_udf()(F.col("_v1"), F.col("_v2")), 6
+                ).alias("cosine"),
+            )
+        )
+        return scored.where(F.col("cosine") >= threshold)
     # norms computed ONCE per vector and carried through the pair join:
     # higher-order aggregate lambdas evaluate interpreted per element,
     # so recomputing norm_expr per PAIR (as cosine_expr would) costs

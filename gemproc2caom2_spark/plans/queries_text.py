@@ -745,9 +745,12 @@ def emb2_semantic_near_dup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     emb = with_centered_vector(emb, dim=_EMB_DIM)
+    # int_exact: TF and centered vectors are integer-valued, so the
+    # vectorized Arrow kernels are bit-identical to the Column folds
+    # (91 s -> 14 s at sf0.1; see embedding_near_dup_pairs docstring)
     return embedding_near_dup_pairs(
         emb, threshold=0.95, bits=6, tables=8, dim=_EMB_DIM,
-        bucket_vec_col="cvec",
+        bucket_vec_col="cvec", int_exact=True,
     )
 
 
