@@ -54,8 +54,10 @@ HEADLINE = [
     "dd4_ngram_jaccard_pairs",
     "dd5_embedding_near_dup",
     "dd6_boilerplate_lines",
+    "dd7_simhash_near_dup",
     "sim1_cosine_topk",
     "sim3_ivf_topk",
+    "emb2_semantic_near_dup_text",
     "mm2_media_features",
     "tx2_quality_metrics",
     "tx5_scrub",
@@ -63,9 +65,13 @@ HEADLINE = [
     "tx7_vocab_idf",
     "tx8_quality_classifier",
     "tx9_doc_keywords",
+    "tx10_repetition_metrics",
     "dec1_decontamination",
     "mix1_domain_quota",
+    "mix2_weighted_sample",
     "pack1_sequence_packing",
+    "bpe1_merge_train",
+    "bpe2_encode",
     "j5_lineage_fold",
     "cur3_flagship_oracle",
     "cur1_flagship_pipeline",
