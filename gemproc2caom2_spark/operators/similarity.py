@@ -200,6 +200,130 @@ def np_int_cosine_udf():
     return _cos
 
 
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot of two (B, dim) float64 matrices with STRICTLY
+    LEFT-TO-RIGHT accumulation: elementwise products are the same IEEE
+    mults as ``zip_with(a, b, x*y)``, and ``np.cumsum`` along the row
+    axis is a sequential scan (numpy applies pairwise-summation
+    reordering to reductions like ``sum``/``einsum``, NOT to prefix
+    scans), so the last prefix equals the ``F.aggregate`` left fold
+    bit-for-bit on every row (``0.0 + p0 == p0`` exactly in IEEE)."""
+    return np.cumsum(a * b, axis=1)[:, -1]
+
+
+def np_seq_cosine_udf():
+    """Vectorized cosine for FLOAT-VALUED vectors that reproduces the
+    sequential Column-fold arithmetic (dot_expr / (norm_expr * norm_expr))
+    BIT-FOR-BIT via ``_seq_dot`` — unlike np_int_cosine_udf this makes
+    no integer-exactness assumption, so it is the drop-in Arrow kernel
+    for real-valued embeddings where summation ORDER changes last-ulp
+    results and a reordered sum could flip a round()-boundary or
+    threshold comparison against the SQL oracle. Bit-identity to the
+    fold is pinned by pytest over every candidate pair of the test
+    corpus. Measured (dd5 at sf0.1, ~250k candidate pairs, dim 64):
+    interpreted folds 6.7 s warm -> sub-second."""
+
+    @F.pandas_udf("double")
+    def _cos(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        mask = v1.notna() & v2.notna()
+        res = np.full(len(v1), np.nan)
+        if mask.any():
+            a = np.asarray(v1[mask].tolist(), dtype=np.float64)
+            b = np.asarray(v2[mask].tolist(), dtype=np.float64)
+            na = np.sqrt(_seq_dot(a, a))
+            nb = np.sqrt(_seq_dot(b, b))
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = _seq_dot(a, b) / denom
+            res[mask.to_numpy()] = c
+        return pd.Series(res)
+
+    return _cos
+
+
+def np_seq_bucket_udf(bits: int, tables: int, dim: int):
+    """All-tables hyperplane buckets for FLOAT-VALUED vectors — the
+    Arrow twin of the interpreted ``hyperplane_bucket_expr`` fold, NOT
+    of np_bucket_udf's matmul: each plane dot accumulates left-to-right
+    via ``_seq_dot`` so near-zero SIGNS (the entire bucket id) match the
+    Column fold and the SQL oracle's list_sum bit-for-bit. Blocked to
+    bound the (block, tables*bits, dim) product tensor at a few MB."""
+    w = np.array(
+        [plane_weights(bits, t, dim) for t in range(tables)], dtype=np.float64
+    ).reshape(tables * bits, dim)
+    pows = (1 << np.arange(bits)).astype(np.int64)
+    toff = np.arange(tables, dtype=np.int64) << 60
+    block = max(1, 4_000_000 // (tables * bits * dim))
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        out: list = []
+        mask = vs.notna()
+        codes = None
+        if mask.any():
+            m = np.asarray(vs[mask].tolist(), dtype=np.float64)
+            sgn = np.empty((len(m), tables * bits), dtype=bool)
+            for s in range(0, len(m), block):
+                chunk = m[s : s + block]  # (b, dim)
+                prods = chunk[:, None, :] * w[None, :, :]  # (b, t*b, dim)
+                sgn[s : s + len(chunk)] = np.cumsum(prods, axis=2)[:, :, -1] >= 0
+            codes = (
+                sgn.reshape(len(m), tables, bits) * pows
+            ).sum(axis=2).astype(np.int64) + toff
+        it = iter(codes) if codes is not None else iter(())
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    return _buckets
+
+
+def np_seq_ivf_cells_udf(centroids: dict[int, list[float]], n: int):
+    """Top-``n`` IVF cell ids per vector by (cosine desc, cid asc) —
+    the Arrow twin of ``ivf_topk``'s interpreted scored_cells argmax /
+    sort. Per-cell cosine reproduces ``dot / (norm_expr(vec) *
+    lit(cnorm))`` bit-for-bit: plane dots and the vector norm accumulate
+    left-to-right via ``_seq_dot``; cnorm is the SAME Python
+    ``math.sqrt(sum(...))`` constant the Column path inlines. The
+    descending stable argsort equals array_max / reverse(array_sort) on
+    (c, -cid) structs: primary exact-float cosine desc, exact ties fall
+    back to cid asc (columns are laid out in cid order). Contract: no
+    zero-norm / null-component vectors (NaN cosines order differently
+    between numpy argsort and Spark's NaN-greatest struct sort)."""
+    import math
+
+    cids = sorted(centroids)
+    cmat = np.array([centroids[c] for c in cids], dtype=np.float64)  # (k, dim)
+    cnorms = np.array(
+        [math.sqrt(sum(x * x for x in centroids[c])) for c in cids]
+    )
+    cid_arr = np.array(cids, dtype=np.int32)
+    dim = cmat.shape[1]
+    block = max(1, 4_000_000 // (len(cids) * dim))
+
+    @F.pandas_udf("array<int>")
+    def _cells(vs: pd.Series) -> pd.Series:
+        out: list = []
+        mask = vs.notna()
+        order = None
+        if mask.any():
+            m = np.asarray(vs[mask].tolist(), dtype=np.float64)  # (B, dim)
+            dots = np.empty((len(m), len(cids)))
+            for s in range(0, len(m), block):
+                chunk = m[s : s + block]
+                prods = chunk[:, None, :] * cmat[None, :, :]  # (b, k, dim)
+                dots[s : s + len(chunk)] = np.cumsum(prods, axis=2)[:, :, -1]
+            nv = np.sqrt(_seq_dot(m, m))
+            c = dots / (nv[:, None] * cnorms[None, :])
+            order = cid_arr[np.argsort(-c, axis=1, kind="stable")[:, :n]]
+        it = iter(order) if order is not None else iter(())
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    return _cells
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,14 +347,16 @@ def ivf_topk(
     centers through the same parameter.
 
     Plan shape: the centroid table is tiny, so BOTH assignment and
-    probing are pure Column expressions over literal centroid arrays —
-    an argmax over ``n_centroids`` dot products per row, zero joins and
-    zero shuffles until the single candidates equi-join on the cell id
-    (queries broadcast). Cost ~ |C| * n_centroids mults for assignment
-    + |C| * n_probe / n_centroids exact scores per query.
+    probing evaluate map-side against the centroid matrix baked into
+    the kernel closure — an argmax over ``n_centroids`` dot products
+    per row, zero joins and zero shuffles until the single candidates
+    equi-join on the cell id (queries broadcast). Cost ~
+    |C| * n_centroids mults for assignment + |C| * n_probe /
+    n_centroids exact scores per query; the mults run as one blocked
+    numpy product per Arrow batch (np_seq_ivf_cells_udf), bit-identical
+    to the sequential Column folds they replaced (measured at sf0.1:
+    assignment dominated the operator at ~6.9 s warm interpreted).
     """
-    import math
-
     if centroids is None:
         rows = (
             corpus.where(F.col(id_col) < n_centroids)
@@ -239,35 +365,14 @@ def ivf_topk(
         )
         centroids = {int(r[0]): [float(x) for x in r[1]] for r in rows}
 
-    def cos_to_centroid(vec: Column, cvec: list[float]) -> Column:
-        # python-side norm constant: same left-fold double sums as the
-        # SQL oracle's list_sum, so values agree bit-for-bit
-        cnorm = math.sqrt(sum(x * x for x in cvec))
-        arr = F.array(*[F.lit(x) for x in cvec])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return dot / (norm_expr(vec) * F.lit(cnorm))
-
-    def scored_cells(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    cos_to_centroid(vec, cvec).alias("c"),
-                    F.lit(-cid).alias("ni"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in sorted(centroids.items())
-            ]
-        )
-
-    assign = F.array_max(scored_cells(F.col(vec_col))).getField("cid")
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(scored_cells(F.col(vec_col)))), 1, n_probe),
-        lambda s: s.getField("cid"),
-    )
+    # Arrow kernels, bit-identical to the interpreted per-cell fold
+    # dots this replaced and to cosine_expr (np_seq_* docstrings +
+    # the test_seq_kernels_* pytest pins):
+    # the corpus-side assignment — |C| * n_centroids fold dots, the
+    # dominant cost of this operator measured at sf0.1 — drops from
+    # interpreted per-element lambda evals to one blocked numpy product
+    assign = np_seq_ivf_cells_udf(centroids, 1)(F.col(vec_col))[0]
+    probes = np_seq_ivf_cells_udf(centroids, n_probe)(F.col(vec_col))
 
     c = corpus.withColumn("_cell", assign)
     q = queries.select(
@@ -281,7 +386,9 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(
+                np_seq_cosine_udf()(F.col("_qvec"), F.col(vec_col)), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -388,16 +495,11 @@ def embedding_near_dup_pairs(
             F.col(bucket_vec_col or vec_col)
         )
     else:
-
-        def buckets(col: Column) -> Column:
-            return F.array(
-                *[
-                    hyperplane_bucket_expr(col, bits, t, dim) + F.lit(t << 60)
-                    for t in range(tables)
-                ]
-            )
-
-        bucket_arr = buckets(F.col(bucket_vec_col or vec_col))
+        # float vectors: the sequential-order Arrow kernel (bit-identical
+        # to the hyperplane_bucket_expr fold; see np_seq_bucket_udf)
+        bucket_arr = np_seq_bucket_udf(bits, tables, dim)(
+            F.col(bucket_vec_col or vec_col)
+        )
 
     cb = corpus.select(F.col(id_col), F.explode(bucket_arr).alias("_bucket"))
     cand = (
@@ -422,21 +524,13 @@ def embedding_near_dup_pairs(
             )
         )
         return scored.where(F.col("cosine") >= threshold)
-    # norms computed ONCE per vector and carried through the pair join:
-    # higher-order aggregate lambdas evaluate interpreted per element,
-    # so recomputing norm_expr per PAIR (as cosine_expr would) costs
-    # candidates * 2 * dim interpreted evals — measured seconds at 250k
-    # pairs. Same arithmetic per vector, so values are bit-identical.
-    e1 = corpus.select(
-        F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("_v1"),
-        norm_expr(F.col(vec_col)).alias("_n1"),
-    )
-    e2 = corpus.select(
-        F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("_v2"),
-        norm_expr(F.col(vec_col)).alias("_n2"),
-    )
+    # float path: one Arrow kernel call per pair batch — np_seq_cosine_udf
+    # reproduces dot_expr / (norm_expr * norm_expr) bit-for-bit (sequential
+    # cumsum accumulation), so values and the threshold cut are identical
+    # to the interpreted folds this replaced (which measured ~6.7 s warm
+    # for dd5's ~250k pairs; the kernel is sub-second)
+    e1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    e2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
     scored = (
         cand.join(e1, on="id1")
         .join(e2, on="id2")
@@ -444,9 +538,7 @@ def embedding_near_dup_pairs(
             "id1",
             "id2",
             F.round(
-                dot_expr(F.col("_v1"), F.col("_v2"))
-                / (F.col("_n1") * F.col("_n2")),
-                6,
+                np_seq_cosine_udf()(F.col("_v1"), F.col("_v2")), 6
             ).alias("cosine"),
         )
     )

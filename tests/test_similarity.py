@@ -135,3 +135,112 @@ def test_lsh_ann_recall(spark, emb):
     for r in approx:
         if (r.query_id, r.vec_id) in ex:
             assert r.cosine == ex[(r.query_id, r.vec_id)]
+
+
+def test_seq_kernels_bit_identical_to_column_folds(spark, emb):
+    """The float-vector Arrow kernels (np_seq_cosine_udf /
+    np_seq_bucket_udf) must reproduce the interpreted Column folds
+    BIT-FOR-BIT — not approximately: a last-ulp difference could flip a
+    near-zero hyperplane sign (changing candidate sets) or a
+    round()-boundary value (breaking SQL-oracle hash parity). Asserted
+    with exact == over every vector / every dense pair sample of the
+    real embeddings table, un-rounded."""
+    from gemproc2caom2_spark.operators.similarity import (
+        dot_expr,
+        hyperplane_bucket_expr,
+        norm_expr,
+        np_seq_bucket_udf,
+        np_seq_cosine_udf,
+    )
+
+    bits, tables, dim = 6, 8, 64
+
+    # buckets: fold vs kernel over every vector
+    fold_buckets = F.array(
+        *[
+            hyperplane_bucket_expr(F.col("embedding"), bits, t, dim)
+            + F.lit(t << 60)
+            for t in range(tables)
+        ]
+    )
+    kern_buckets = np_seq_bucket_udf(bits, tables, dim)(F.col("embedding"))
+    mismatch = (
+        emb.select(fold_buckets.alias("f"), kern_buckets.alias("k"))
+        .where(F.col("f") != F.col("k"))
+        .count()
+    )
+    assert mismatch == 0
+
+    # cosine: fold vs kernel over a dense pair sample (~50^2/2 pairs),
+    # compared un-rounded so rounding can't mask a ulp difference
+    sub = emb.where(F.col("vec_id") < 50)
+    a = sub.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("_v1"))
+    b = sub.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("_v2"))
+    pairs = a.crossJoin(b).where(F.col("id1") < F.col("id2"))
+    fold_cos = dot_expr(F.col("_v1"), F.col("_v2")) / (
+        norm_expr(F.col("_v1")) * norm_expr(F.col("_v2"))
+    )
+    kern_cos = np_seq_cosine_udf()(F.col("_v1"), F.col("_v2"))
+    bad = (
+        pairs.select(fold_cos.alias("f"), kern_cos.alias("k"))
+        .where(F.col("f") != F.col("k"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ivf_cells_kernel_bit_identical_to_struct_sort(spark, emb):
+    """np_seq_ivf_cells_udf must reproduce the interpreted Column
+    semantics it replaced inside ivf_topk — per-cell cosine as
+    dot / (norm_expr(vec) * lit(python_cnorm)), ranked by
+    array_max / reverse(array_sort) over (c, -cid) structs — exactly,
+    over every vector of the real table."""
+    import math
+
+    from gemproc2caom2_spark.operators.similarity import (
+        norm_expr,
+        np_seq_ivf_cells_udf,
+    )
+
+    rows = emb.where(F.col("vec_id") < 16).select("vec_id", "embedding").collect()
+    centroids = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+
+    def cos_to_centroid(vec, cvec):
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        arr = F.array(*[F.lit(x) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return dot / (norm_expr(vec) * F.lit(cnorm))
+
+    cells = F.array(
+        *[
+            F.struct(
+                cos_to_centroid(F.col("embedding"), cvec).alias("c"),
+                F.lit(-cid).alias("ni"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in sorted(centroids.items())
+        ]
+    )
+    fold_assign = F.array_max(cells).getField("cid")
+    fold_probes = F.transform(
+        F.slice(F.reverse(F.array_sort(cells)), 1, 4),
+        lambda s: s.getField("cid"),
+    )
+    kern_assign = np_seq_ivf_cells_udf(centroids, 1)(F.col("embedding"))[0]
+    kern_probes = np_seq_ivf_cells_udf(centroids, 4)(F.col("embedding"))
+
+    bad = (
+        emb.select(
+            fold_assign.alias("fa"),
+            kern_assign.alias("ka"),
+            fold_probes.cast("array<int>").alias("fp"),
+            kern_probes.alias("kp"),
+        )
+        .where((F.col("fa") != F.col("ka")) | (F.col("fp") != F.col("kp")))
+        .count()
+    )
+    assert bad == 0
