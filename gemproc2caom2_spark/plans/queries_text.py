@@ -1522,6 +1522,91 @@ def tx8_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# adaptive quantile thresholds (CCNet/Gopher per-language calibration)
+# ===========================================================================
+
+_TOKENS_SQL = "coalesce(length(regexp_extract_all(text, '\\S+')), 0)::BIGINT"
+
+
+@register(
+    "qt1_adaptive_quantile_filter",
+    f"""
+    WITH sc AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS score FROM documents),
+    thr AS (
+      SELECT lang, round(quantile_cont(score, 0.1), 6) AS threshold
+      FROM sc GROUP BY lang)
+    SELECT sc.doc_id, sc.lang, sc.score, thr.threshold,
+           coalesce(sc.score >= thr.threshold, FALSE) AS keep
+    FROM sc LEFT JOIN thr USING (lang)
+    """,
+)
+def qt1_adaptive_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality cut: drop each language's bottom
+    decile by token count instead of applying one global constant (a
+    fixed cut tuned on English over-drops every shorter-form language —
+    the CCNet calibration argument). F.percentile is Spark's EXACT
+    interpolated percentile — bit-identical to DuckDB quantile_cont —
+    and the integral score bounds the aggregator's value->count map at
+    any corpus size (operators/thresholds.py). Reference analog: F3's
+    per-group rule dispatch (main_app.py:205-219) with the rule value
+    learned from the distribution."""
+    from gemproc2caom2_spark.operators.thresholds import filter_by_group_quantile
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    sc = d.select("doc_id", "lang", TX.token_count_ws("text").alias("score"))
+    return filter_by_group_quantile(
+        sc, score_col="score", group_col="lang", q=0.1
+    ).select("doc_id", "lang", "score", "threshold", "keep")
+
+
+@register(
+    "qt2_quantile_buckets",
+    f"""
+    WITH sc AS (
+      SELECT doc_id, lang,
+             CASE WHEN tokens > 0
+                  THEN round(length(text)::DOUBLE / tokens, 2) END AS score
+      FROM (SELECT doc_id, lang, text, {_TOKENS_SQL} AS tokens
+            FROM documents)),
+    thr AS (
+      SELECT lang,
+             round(quantile_cont(score, {1.0 / 3!r}), 6) AS b0,
+             round(quantile_cont(score, {2.0 / 3!r}), 6) AS b1
+      FROM sc GROUP BY lang)
+    SELECT sc.doc_id, sc.lang, sc.score,
+           CASE WHEN sc.score IS NULL THEN NULL
+                WHEN sc.score <= thr.b0 THEN 'head'
+                WHEN sc.score <= thr.b1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc LEFT JOIN thr USING (lang)
+    """,
+)
+def qt2_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles per language. The bucketed
+    score here is mean word length DISCRETIZED to 2 decimals — the
+    documented scale practice for continuous scores (exact percentile
+    memory is bounded by distinct values; production plugs perplexity
+    through the same ``group_quantile_buckets`` with the same
+    round-first discipline). Boundary rule <= lower bucket, pinned in
+    both engines."""
+    from gemproc2caom2_spark.operators.thresholds import group_quantile_buckets
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    tokens = TX.token_count_ws("text")
+    sc = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            tokens > 0, F.round(F.length("text").cast("double") / tokens, 2)
+        ).alias("score"),
+    )
+    return group_quantile_buckets(
+        sc, score_col="score", group_col="lang", bounds=(1.0 / 3, 2.0 / 3)
+    ).select("doc_id", "lang", "score", "bucket")
+
+
+# ===========================================================================
 # benchmark decontamination + dataset mixing
 # ===========================================================================
 
