@@ -55,6 +55,7 @@ HEADLINE = [
     "dd5_embedding_near_dup",
     "dd6_boilerplate_lines",
     "dd7_simhash_near_dup",
+    "dd8_cluster_representatives",
     "sim1_cosine_topk",
     "sim3_ivf_topk",
     "emb2_semantic_near_dup_text",
@@ -66,9 +67,11 @@ HEADLINE = [
     "tx8_quality_classifier",
     "tx9_doc_keywords",
     "tx10_repetition_metrics",
+    "qt1_adaptive_quantile_filter",
     "dec1_decontamination",
     "mix1_domain_quota",
     "mix2_weighted_sample",
+    "mix3_token_budget",
     "pack1_sequence_packing",
     "bpe1_merge_train",
     "bpe2_encode",

@@ -374,6 +374,56 @@ def _fold_bucket_duplicates(
     return df.join(dup_flags, on=key_col, how="left").select(*out)
 
 
+def select_cluster_representatives(
+    marked: DataFrame,
+    quality: DataFrame,
+    quality_col: str,
+    key_col: str = "doc_id",
+    canonical_col: str = "canonical_id",
+    min_cluster_size: int = 2,
+) -> DataFrame:
+    """Pick each near-dup cluster's KEEPER by quality instead of by id:
+    the mark_*_duplicates canonical is the cluster's min key (the right
+    anchor for transitive resolution), but a production dedup keeps the
+    best MEMBER — FineWeb-style 'retain the highest-quality duplicate'.
+    Consumes any marker output (``key_col``, ``canonical_col``) plus a
+    (key, quality) frame; returns one row per member of each cluster
+    with >= ``min_cluster_size`` members: (cluster_id, key, quality,
+    cluster_size, is_representative) where the representative is the
+    (quality DESC, key ASC) argmax — deterministic because keys are
+    unique.
+
+    Scale shape: one window per cluster_id — clusters are near-dup
+    sets, typically tiny; a pathological mega-cluster (template farm)
+    makes its window task the straggler, in which case compute only the
+    argmax via groupBy(cluster).agg(max_by(key, struct(quality, -key)))
+    + a key join back instead of ranking every member (same result for
+    the representative, loses the per-member rank).
+    """
+    from pyspark.sql import Window
+
+    m = marked.select(
+        F.coalesce(F.col(canonical_col), F.col(key_col)).alias("cluster_id"),
+        key_col,
+    ).join(quality.select(key_col, quality_col), on=key_col)
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(key_col).asc()
+    )
+    ws = Window.partitionBy("cluster_id")
+    return (
+        m.withColumn("_rk", F.row_number().over(wr))
+        .withColumn("cluster_size", F.count("*").over(ws))
+        .where(F.col("cluster_size") >= min_cluster_size)
+        .select(
+            "cluster_id",
+            key_col,
+            quality_col,
+            "cluster_size",
+            (F.col("_rk") == 1).alias("is_representative"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -138,6 +138,55 @@ def sequence_packing(
     )
 
 
+def token_budget_selection(
+    df: DataFrame,
+    tokens_col: str,
+    quality_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 100_000,
+    selected_col: str = "selected",
+    shards_per_group: int = 1,
+) -> DataFrame:
+    """Select each group's best-quality documents up to a token budget —
+    the 'take the top N tokens per source' step every mixture spec ends
+    with (FineWeb/Dolma publish per-source token counts, not doc
+    counts). Docs are taken in (quality DESC, id ASC) order; a doc is
+    selected iff the tokens taken BEFORE it are under the budget, so
+    the selection overshoots by at most the last doc's length (the same
+    exclusive-prefix convention as ``sequence_packing``) and is a
+    deterministic function of the input — reruns, resumes and the SQL
+    oracle pick the identical subset.
+
+    Adds ``cum_before`` (exclusive prefix sum, exact long arithmetic)
+    and ``selected``. Scale shape: one running-sum window per group;
+    for a hot group pass ``shards_per_group`` = B > 1 — md5-derived
+    sub-shards each select against ``budget DIV B`` (+1 for the first
+    ``budget mod B`` shards), bounding the per-task sort while keeping
+    the total within one shard-doc of the budget; B=1 is bit-identical
+    to the unsharded operator (what oracles pin)."""
+    b = max(int(shards_per_group), 1)
+    part = [group_col] if b == 1 else [group_col, "_shard"]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df if b == 1 else df.withColumn("_shard", _shard_of(id_col, b))
+    shard_budget = (
+        F.lit(int(budget))
+        if b == 1
+        else F.lit(budget // b)
+        + (F.col("_shard") < budget % b).cast("long")
+    )
+    cum = F.coalesce(
+        F.sum(F.col(tokens_col)).over(w), F.lit(0).cast("long")
+    )
+    return base.withColumn("cum_before", cum).withColumn(
+        selected_col, F.col("cum_before") < shard_budget
+    ).drop(*(["_shard"] if b > 1 else []))
+
+
 def weighted_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -238,9 +238,9 @@ def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dd7_simhash_near_dup",
-    f"""
+# shared by dd7 (the marker itself) and dd8 (representative selection
+# over the marker's clusters)
+_DD7_SQL = f"""
     WITH w AS (
       SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents),
     h AS (
@@ -277,8 +277,10 @@ def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(c2.canon < sh.doc_id, FALSE) AS is_duplicate,
            CASE WHEN c2.canon < sh.doc_id THEN c2.canon END AS canonical_id
     FROM sh LEFT JOIN c2 USING (doc_id)
-    """,
-)
+    """
+
+
+@register("dd7_simhash_near_dup", _DD7_SQL)
 def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup MARKING — the third dedup family completed from
     signature to keep/drop verdict. The signature is the PRODUCTION
@@ -305,6 +307,61 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=6,
         canonical_col="canonical_id",
         resolve_hops=2,
+    )
+
+
+@register(
+    "dd8_cluster_representatives",
+    f"""
+    WITH marked AS ({_DD7_SQL}),
+    m AS (
+      SELECT coalesce(marked.canonical_id, marked.doc_id) AS cluster_id,
+             marked.doc_id, d.n_chars
+      FROM marked JOIN documents d USING (doc_id)),
+    r AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM m)
+    SELECT cluster_id, doc_id, n_chars, cluster_size::BIGINT AS cluster_size,
+           (rk = 1) AS is_representative
+    FROM r WHERE cluster_size >= 2
+    """,
+)
+def dd8_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each simhash near-dup
+    cluster keep the LONGEST member (n_chars desc, doc_id tie-break)
+    instead of the min-id anchor — the FineWeb 'retain the best
+    duplicate' policy, composed from the dd7 marker +
+    select_cluster_representatives (operators/dedup.py). The oracle
+    wraps the full dd7 SQL, so the entire signature->bands->Hamming->
+    cluster->argmax chain is cross-engine checked."""
+    from gemproc2caom2_spark.operators.dedup import (
+        mark_simhash_duplicates,
+        select_cluster_representatives,
+        with_simhash,
+    )
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    sigs = with_simhash(
+        d.select("doc_id", "text"), text_col="text", out_col="simhash"
+    ).where(F.col("simhash").isNotNull()).select("doc_id", "simhash")
+    marked = mark_simhash_duplicates(
+        sigs,
+        key_col="doc_id",
+        sig_col="simhash",
+        bits=60,
+        bands=6,
+        canonical_col="canonical_id",
+        resolve_hops=2,
+    )
+    return select_cluster_representatives(
+        marked,
+        quality=d.select("doc_id", "n_chars"),
+        quality_col="n_chars",
+        key_col="doc_id",
+        canonical_col="canonical_id",
     )
 
 
@@ -2088,3 +2145,52 @@ def mix2_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         d, rates=_MIX2_RATES, default_rate=_MIX2_DEFAULT
     ).select("doc_id", "source")
+
+
+@register(
+    "mix3_token_budget",
+    f"""
+    WITH sc AS (
+      SELECT doc_id, source, tokens,
+             round(length(text)::DOUBLE / tokens, 2) AS quality
+      FROM (SELECT doc_id, source, text, {_TOKENS_SQL} AS tokens
+            FROM documents)
+      WHERE tokens > 0),
+    r AS (
+      SELECT doc_id, source, tokens, quality,
+             coalesce(sum(tokens) OVER (
+               PARTITION BY source
+               ORDER BY quality DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_before
+      FROM sc)
+    SELECT doc_id, source, tokens, quality, cum_before,
+           (cum_before < 5000) AS selected
+    FROM r
+    """,
+)
+def mix3_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: each source contributes its
+    best-quality documents (mean word length desc, discretized) until
+    5000 tokens are taken — the 'top N tokens per source' step a
+    mixture spec ends with (operators/mixing.py
+    token_budget_selection: exclusive prefix sum, exact long
+    arithmetic, deterministic order)."""
+    from gemproc2caom2_spark.operators.mixing import token_budget_selection
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    tokens = TX.token_count_ws("text")
+    sc = d.select(
+        "doc_id",
+        "source",
+        tokens.alias("tokens"),
+        F.round(F.length("text").cast("double") / tokens, 2).alias("quality"),
+    ).where(F.col("tokens") > 0)
+    return token_budget_selection(
+        sc,
+        tokens_col="tokens",
+        quality_col="quality",
+        group_col="source",
+        id_col="doc_id",
+        budget=5000,
+    ).select("doc_id", "source", "tokens", "quality", "cum_before", "selected")

@@ -245,3 +245,37 @@ def test_remove_boilerplate_lines(spark):
         4: "solo line\nsolo line\nsolo line",
         6: "",
     }
+
+
+def test_cluster_representatives_quality_argmax(spark):
+    """Representative = (quality desc, key asc) argmax per cluster;
+    singletons excluded; ties fall to the smaller key."""
+    from pyspark.sql import functions as F
+
+    from gemproc2caom2_spark.operators.dedup import select_cluster_representatives
+
+    marked = spark.createDataFrame(
+        [
+            (1, None),  # cluster root (canonical null on the anchor)
+            (2, 1),
+            (3, 1),
+            (10, None),  # singleton -> excluded
+            (20, None),
+            (21, 20),  # tie on quality with 20 -> 20 wins (key asc)
+        ],
+        "doc_id long, canonical_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (10, 100), (20, 4), (21, 4)],
+        "doc_id long, n_chars long",
+    )
+    out = select_cluster_representatives(
+        marked, quality, quality_col="n_chars"
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 10 not in by_id
+    assert by_id[2].is_representative and not by_id[1].is_representative
+    assert by_id[2].cluster_id == 1 and by_id[2].cluster_size == 3
+    assert by_id[20].is_representative and not by_id[21].is_representative
+    reps = [r for r in out if r.is_representative]
+    assert len(reps) == 2

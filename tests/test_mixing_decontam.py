@@ -207,3 +207,41 @@ def test_weighted_sample_semantics(spark):
     # then quota-ranking keeps composition unbiased (smoke: subset of ids)
     ids = {r.doc_id for r in out}
     assert ids <= {r[0] for r in rows}
+
+
+def test_token_budget_selection_exclusive_prefix_and_shards(spark):
+    """Selection takes best-quality docs while the tokens BEFORE a doc
+    are under the budget (so it overshoots by at most one doc); the
+    sharded variant bounds per-shard budgets and B=1 is bit-identical
+    to the unsharded plan."""
+    from pyspark.sql import functions as F
+
+    from gemproc2caom2_spark.operators.mixing import token_budget_selection
+
+    rows = [(i, "a", 10, float(100 - i)) for i in range(1, 21)]  # best = low id
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, tokens long, quality double"
+    )
+    out = token_budget_selection(
+        df, "tokens", "quality", group_col="source", budget=55
+    ).collect()
+    sel = sorted(r.doc_id for r in out if r.selected)
+    # docs 1..5 have cum_before 0..40 < 55; doc 6 has 50 < 55 (overshoot
+    # by part of doc 6); doc 7 has 60 >= 55
+    assert sel == [1, 2, 3, 4, 5, 6]
+    total = sum(r.tokens for r in out if r.selected)
+    assert 55 <= total <= 55 + 10  # overshoot bounded by one doc
+
+    # B=1 identity
+    out_b1 = token_budget_selection(
+        df, "tokens", "quality", group_col="source", budget=55, shards_per_group=1
+    ).collect()
+    assert sorted(map(tuple, out_b1)) == sorted(map(tuple, out))
+
+    # sharded: per-shard budgets sum to the budget (DIV split + remainder)
+    out_sh = token_budget_selection(
+        df, "tokens", "quality", group_col="source", budget=55, shards_per_group=4
+    ).collect()
+    total_sh = sum(r.tokens for r in out_sh if r.selected)
+    # each shard overshoots by at most one 10-token doc
+    assert 55 <= total_sh <= 55 + 4 * 10
