@@ -59,6 +59,7 @@ HEADLINE = [
     "sim1_cosine_topk",
     "sim3_ivf_topk",
     "emb2_semantic_near_dup_text",
+    "emb3_semantic_dedup_mark",
     "mm2_media_features",
     "tx2_quality_metrics",
     "tx5_scrub",

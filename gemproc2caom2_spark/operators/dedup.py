@@ -424,6 +424,90 @@ def select_cluster_representatives(
     )
 
 
+def mark_semantic_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 6,
+    tables: int = 8,
+    dim: int | None = None,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_vec_col: str | None = None,
+    int_exact: bool = False,
+    out_col: str = "is_duplicate",
+    canonical_col: str | None = "canonical_id",
+    resolve_hops: int | str = 2,
+) -> DataFrame:
+    """Embedding near-dup MARKING — the linear-scale twin of
+    ``similarity.embedding_near_dup_pairs``: instead of enumerating all
+    verified pairs (quadratic in cluster size — template corpora make
+    the pair list itself the cost: 2.67M candidate pairs at sf0.1 for
+    ~1k true pairs), fold each hyperplane bucket to its min key and
+    verify at most ``tables`` (key, bucket-min) candidates per doc with
+    the exact cosine >= ``threshold`` — the same
+    verify-against-bucket-min trade as ``mark_simhash_duplicates``, so
+    candidate volume is ``tables * |corpus|`` REGARDLESS of cluster
+    structure. This is the operator a 100-TB semantic dedup actually
+    runs; the pair enumerator remains the analysis tool.
+
+    Bucketing uses ``bucket_vec_col`` (centered vectors for TF-style
+    embeddings — see embedding_near_dup_pairs); verification scores the
+    raw ``vec_col``. ``int_exact`` picks the integer-exact numpy
+    kernels (TF / N*v - S vectors), else the sequential-order float
+    kernels — both bit-identical to the Column folds and the SQL
+    oracle. Returns one row per corpus key: (key, is_duplicate,
+    canonical) after ``resolve_hops`` chain resolution.
+    """
+    from gemproc2caom2_spark.operators.similarity import (
+        _infer_dim,
+        np_bucket_udf,
+        np_int_cosine_udf,
+        np_seq_bucket_udf,
+        np_seq_cosine_udf,
+    )
+
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    bucket_udf = (np_bucket_udf if int_exact else np_seq_bucket_udf)(
+        bits, tables, dim
+    )
+    cos_udf = (np_int_cosine_udf if int_exact else np_seq_cosine_udf)()
+    # the per-table <<60 offset already makes bucket ids disjoint
+    # across tables, so a constant band satisfies the fold's key
+    exploded = corpus.select(
+        key_col,
+        F.lit(0).alias("_band"),
+        F.explode(bucket_udf(F.col(bucket_vec_col or vec_col))).alias("_bucket"),
+    )
+    vecs = corpus.select(key_col, vec_col)
+
+    def pair_filter(cand: DataFrame) -> DataFrame:
+        a = vecs.select(F.col(key_col), F.col(vec_col).alias("_va"))
+        m = vecs.select(
+            F.col(key_col).alias("_bucket_min"), F.col(vec_col).alias("_vm")
+        )
+        return (
+            cand.join(a, on=key_col)
+            .join(m, on="_bucket_min")
+            .where(
+                F.round(cos_udf(F.col("_va"), F.col("_vm")), 6)
+                >= threshold
+            )
+            .select(key_col, "_bucket_min")
+        )
+
+    return _fold_bucket_duplicates(
+        corpus.select(key_col),
+        exploded,
+        key_col=key_col,
+        out_col=out_col,
+        canonical_col=canonical_col,
+        canonical_attrs=None,
+        resolve_hops=resolve_hops,
+        pair_filter=pair_filter,
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

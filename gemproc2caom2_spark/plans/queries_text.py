@@ -811,6 +811,98 @@ def emb2_semantic_near_dup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_mark_oracle_sql(
+    threshold: float = 0.95, bits: int = 6, tables: int = 8, dim: int = _EMB_DIM
+) -> str:
+    """DuckDB rendering of mark_semantic_duplicates over the text->
+    embedding prelude: centered-vector hyperplane buckets (same literal
+    plane weights), groupBy-min per bucket, exact-cosine verification
+    against the bucket min, dd7-style 2-hop pointer jumping."""
+    from gemproc2caom2_spark.operators.similarity import plane_weights
+
+    outs = []
+    for t in range(tables):
+        ws = plane_weights(bits, t, dim)
+        terms = []
+        for i in range(bits):
+            arr = "[" + ",".join("1.0" if w > 0 else "-1.0" for w in ws[i]) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> e.cvec[j]::DOUBLE * ({arr})[j]))"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        outs.append("(" + " + ".join(terms) + f" + {t << 60})")
+    b = "[" + ", ".join(outs) + "]"
+    dot_am = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> a.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE))"
+    )
+    na = (
+        "sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+    )
+    nm = (
+        "sqrt(list_sum(list_transform(range(1, len(m.embedding) + 1), "
+        "i -> m.embedding[i]::DOUBLE * m.embedding[i]::DOUBLE)))"
+    )
+    return f"""
+    WITH {_emb_centered_prelude_sql(dim)},
+    cb AS (SELECT e.vec_id, unnest({b}) AS bucket FROM emb_cent e),
+    bm AS (SELECT bucket, min(vec_id) AS bmin FROM cb GROUP BY bucket),
+    cand AS (SELECT DISTINCT cb.vec_id, bm.bmin FROM cb JOIN bm USING (bucket)),
+    ver AS (
+      SELECT c.vec_id, c.bmin FROM cand c
+      JOIN emb_src a ON a.vec_id = c.vec_id
+      JOIN emb_src m ON m.vec_id = c.bmin
+      WHERE round({dot_am} / ({na} * {nm}), 6) >= {threshold}),
+    c0 AS (SELECT vec_id, min(bmin) AS canon FROM ver GROUP BY vec_id),
+    c1 AS (SELECT a.vec_id, coalesce(p.canon, a.canon) AS canon
+           FROM c0 a LEFT JOIN c0 p ON a.canon = p.vec_id),
+    c2 AS (SELECT a.vec_id, coalesce(p.canon, a.canon) AS canon
+           FROM c1 a LEFT JOIN c1 p ON a.canon = p.vec_id)
+    SELECT e.vec_id,
+           coalesce(c2.canon < e.vec_id, FALSE) AS is_duplicate,
+           CASE WHEN c2.canon < e.vec_id THEN c2.canon END AS canonical_id
+    FROM emb_src e LEFT JOIN c2 USING (vec_id)
+    """
+
+
+@register("emb3_semantic_dedup_mark", _semantic_mark_oracle_sql())
+def emb3_semantic_dedup_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup MARKING from text — the linear-scale production
+    shape: text -> hashed-TF embedding -> centered-vector hyperplane
+    buckets -> groupBy-min per bucket -> exact cosine >= 0.95 verified
+    against the bucket min only (at most ``tables`` candidates per doc,
+    never a pair enumeration) -> keep/drop verdict with canonical
+    lineage. Candidate volume is tables x |corpus| regardless of
+    cluster structure — the shape that survives template farms at
+    100 TB, vs emb2's 2.67M candidate pairs at sf0.1."""
+    from gemproc2caom2_spark.operators.dedup import mark_semantic_duplicates
+    from gemproc2caom2_spark.operators.embed import (
+        with_centered_vector,
+        with_text_embedding,
+    )
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    d = d.where(F.trim(F.col("text")) != "")
+    emb = with_text_embedding(d, dim=_EMB_DIM, use_udf=True).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    emb = with_centered_vector(emb, dim=_EMB_DIM)
+    return mark_semantic_duplicates(
+        emb,
+        threshold=0.95,
+        bits=6,
+        tables=8,
+        dim=_EMB_DIM,
+        key_col="vec_id",
+        vec_col="embedding",
+        bucket_vec_col="cvec",
+        int_exact=True,
+        resolve_hops=2,
+    )
+
+
 # ===========================================================================
 # text analysis
 # ===========================================================================

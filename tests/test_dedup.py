@@ -279,3 +279,32 @@ def test_cluster_representatives_quality_argmax(spark):
     assert by_id[20].is_representative and not by_id[21].is_representative
     reps = [r for r in out if r.is_representative]
     assert len(reps) == 2
+
+
+def test_semantic_marking_flags_cosine_cluster(spark):
+    """mark_semantic_duplicates flags vectors whose exact cosine to
+    their bucket min clears the threshold, keeps the min as canonical,
+    and leaves dissimilar vectors unmarked."""
+    from pyspark.sql import functions as F
+
+    from gemproc2caom2_spark.operators.dedup import mark_semantic_duplicates
+
+    rows = [
+        (1, [10.0, 0.0, 0.0, 0.0]),
+        (2, [20.0, 0.0, 0.0, 0.0]),   # cosine 1.0 with 1
+        (3, [10.0, 1.0, 0.0, 0.0]),   # cosine ~0.995 with 1
+        (4, [0.0, 0.0, 7.0, 0.0]),    # orthogonal
+        (5, [0.0, 0.0, 0.0, 3.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in mark_semantic_duplicates(
+            df, threshold=0.99, bits=4, tables=8, dim=4, int_exact=True
+        ).collect()
+    }
+    assert out[2].is_duplicate and out[2].canonical_id == 1
+    assert out[3].is_duplicate and out[3].canonical_id == 1
+    assert not out[1].is_duplicate and out[1].canonical_id is None
+    assert not out[4].is_duplicate
+    assert not out[5].is_duplicate
