@@ -254,6 +254,8 @@ def run_incremental(
     num_partitions: int | None = None,
     cross_run_dedup: bool = True,
     dedup: bool = True,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
 ) -> tuple[str, int]:
     """Process only not-yet-committed urls; commit results + keys + audit
     atomically. Returns (run_id, n_processed).
@@ -261,7 +263,16 @@ def run_incremental(
     ``dedup=False`` disables the within-run LSH stage (and with it the
     cross-run bucket check, which keys off the bands it emits) — the
     task_types/meta_visitors=[] analog for deployments that run dedup
-    as a separate periodic job."""
+    as a separate periodic job.
+
+    ``partition_by`` hive-partitions the RESULTS table (e.g.
+    ``("lang",)`` so language-scoped consumers get partition pruning
+    for free — the layout every curated-corpus reader filters on) and
+    ``max_records_per_file`` caps file size so a skewed partition
+    (lang=en is most of web text) still splits into parallel-readable
+    files. Layout-only knobs: committed_results reads back the
+    identical rows either way, and the keys/audit side tables stay
+    unpartitioned (they are read whole)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     done = committed_keys(spark, out_dir)
     todo = input_df
@@ -323,7 +334,14 @@ def run_incremental(
     run_dir = _join(_runs_root(out_dir), run_id)
     results_path = _join(run_dir, "results")
     keys_path = _join(run_dir, "keys")
-    curated.drop("lsh_bands").write.mode("overwrite").parquet(results_path)
+    results_writer = curated.drop("lsh_bands").write.mode("overwrite")
+    if partition_by:
+        results_writer = results_writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        results_writer = results_writer.option(
+            "maxRecordsPerFile", int(max_records_per_file)
+        )
+    results_writer.parquet(results_path)
 
     # derive keys + audit from the just-written results (no DAG recompute)
     written = spark.read.parquet(results_path)
