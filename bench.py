@@ -68,6 +68,7 @@ HEADLINE = [
     "tx8_quality_classifier",
     "tx9_doc_keywords",
     "tx10_repetition_metrics",
+    "tx11_compression_ratio",
     "qt1_adaptive_quantile_filter",
     "dec1_decontamination",
     "mix1_domain_quota",

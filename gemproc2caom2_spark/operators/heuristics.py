@@ -186,3 +186,41 @@ def placeholder_flag(text: Column | str, rules: RuleConfig = DEFAULT_RULES) -> C
     for marker in rules.placeholder_markers:
         cond = cond | t.contains(marker)
     return cond
+
+
+def make_compression_ratio_udf(level: int = 6, cap: int = ANALYSIS_CAP):
+    """Deflate compressibility as a quality signal: ratio =
+    compressed_bytes / utf8_bytes of the first ``cap`` chars. Highly
+    repetitive boilerplate compresses toward 0; diverse prose sits
+    around 0.4-0.6 — the gzip-compressibility filter several curation
+    pipelines run next to the Gopher n-gram repetition family (it
+    catches long-range repetition the capped n-gram window misses).
+
+    Arrow-batched pandas UDF: zlib is a C call per doc over the capped
+    prefix — no per-row Python arithmetic beyond the call itself, and
+    the cap bounds worst-case cost exactly like quality_struct. zlib
+    output at a fixed level is deterministic for a given input, so the
+    fixture oracle (tests/gen_fixtures.py) pins the engine's
+    distributed plumbing byte-for-byte. Null/empty text -> null.
+    """
+    import zlib
+
+    import pandas
+
+    # no type hints: under `from __future__ import annotations` they
+    # become strings pyspark's hint parser can't resolve against this
+    # closure; hint-less defaults to the scalar pandas UDF, same thing
+    def _ratio(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t[:cap].encode("utf-8")
+            if not raw:
+                out.append(None)
+                continue
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pandas.Series(out, dtype="float64")
+
+    return F.pandas_udf(_ratio, "double")

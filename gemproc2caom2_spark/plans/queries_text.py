@@ -47,6 +47,7 @@ _IVF_FIXTURE = _os.path.join(_FIXTURE_DIR, "ivf_centers.parquet")
 _QLR_FIXTURE = _os.path.join(_FIXTURE_DIR, "quality_lr_weights.parquet")
 _BPE_FIXTURE = _os.path.join(_FIXTURE_DIR, "bpe_merges.parquet")
 _BPE_ENCODE_FIXTURE = _os.path.join(_FIXTURE_DIR, "bpe_encoded.parquet")
+_ZRATIO_FIXTURE = _os.path.join(_FIXTURE_DIR, "compression_ratio.parquet")
 
 
 def _perm_ab(i: int) -> tuple[int, int]:
@@ -1976,6 +1977,35 @@ def tx10_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", repetition_struct("text").alias("r")).select(
         "doc_id", "r.*"
+    )
+
+
+@register(
+    "tx11_compression_ratio",
+    f"""
+    SELECT doc_id, ratio_r6 AS ratio
+    FROM read_parquet('{_ZRATIO_FIXTURE}') fx
+    WHERE fx.corpus_md5 = (SELECT md5(string_agg(md5(coalesce(text, '')),
+                                                 '' ORDER BY doc_id))
+                           FROM documents)
+    """,
+)
+def tx11_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-compressibility quality signal (the gzip-ratio filter
+    run next to the Gopher repetition family — catches long-range
+    boilerplate repetition the capped n-gram window misses). zlib at a
+    fixed level is deterministic, so the independent-Python fixture
+    (tests/gen_fixtures.py _gen_compression_ratio, keyed by corpus
+    fingerprint) pins the Arrow plumbing byte-for-byte — the same
+    fixture protocol as bpe2/cur3."""
+    from gemproc2caom2_spark.operators.heuristics import (
+        make_compression_ratio_udf,
+    )
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return d.select(
+        "doc_id",
+        F.round(make_compression_ratio_udf()(F.col("text")), 6).alias("ratio"),
     )
 
 

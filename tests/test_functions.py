@@ -148,3 +148,33 @@ def test_repetition_struct_semantics(spark):
         assert r.is_repetitive is False      # guard: nulls never flag
     # lowercased tokenization: "Tick TOCK" == "tick tock"
     assert out[5].dup_2gram_frac > 0.5 and out[5].is_repetitive is True
+
+
+def test_compression_ratio_orders_repetition(spark):
+    """Repetitive boilerplate compresses far below diverse prose; null
+    and empty text yield null."""
+    from pyspark.sql import functions as F
+
+    from gemproc2caom2_spark.operators.heuristics import (
+        make_compression_ratio_udf,
+    )
+
+    rows = [
+        (1, "click here click here click here " * 200),
+        (2, "The quarterly hydrology report details sediment transport "
+            "variance across nineteen alpine catchments, comparing "
+            "isotope tracer methods with distributed runoff models."),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: r.ratio
+        for r in df.select(
+            "id", make_compression_ratio_udf()(F.col("text")).alias("ratio")
+        ).collect()
+    }
+    assert out[3] is None and out[4] is None
+    assert 0 < out[1] < 0.1          # boilerplate collapses
+    assert 0.4 < out[2] <= 1.0       # prose stays incompressible
+    assert out[1] < out[2]
