@@ -74,6 +74,7 @@ HEADLINE = [
     "mix1_domain_quota",
     "mix2_weighted_sample",
     "mix3_token_budget",
+    "mix4_cluster_quota",
     "pack1_sequence_packing",
     "bpe1_merge_train",
     "bpe2_encode",

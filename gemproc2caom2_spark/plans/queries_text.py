@@ -2254,7 +2254,68 @@ def _mix2_oracle_sql() -> str:
     """
 
 
-@register("mix2_weighted_sample", _mix2_oracle_sql())
+_MIX4_COS = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> e.embedding[i]::DOUBLE * cent.cvec[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(range(1, len(cent.cvec) + 1), "
+    "i -> cent.cvec[i]::DOUBLE * cent.cvec[i]::DOUBLE))))"
+)
+
+
+@register(
+    "mix4_cluster_quota",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < 8),
+    sc AS (
+      SELECT e.vec_id, cent.cid, {_MIX4_COS} AS c
+      FROM embeddings e CROSS JOIN cent),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, cid ASC) AS rn
+        FROM sc) WHERE rn = 1),
+    q AS (
+      SELECT vec_id, cid,
+             CAST(row_number() OVER (PARTITION BY cid
+                                     ORDER BY md5(vec_id::VARCHAR)) AS INT)
+               AS sample_rank
+      FROM asg)
+    SELECT vec_id, cid AS cell, sample_rank FROM q WHERE sample_rank <= 50
+    """,
+)
+def mix4_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced sampling: quota per EMBEDDING CLUSTER instead of
+    per source — cap each semantic neighborhood's contribution so one
+    over-represented topic can't dominate the mixture (the cluster-level
+    twin of mix1's domain quota; DoReMi/D4-style diversity control built
+    from parts this engine already has). Assignment is the IVF coarse
+    quantizer (seeded deterministic centroids, the sim3 protocol; the
+    sequential-exact Arrow kernel np_seq_ivf_cells_udf), then the
+    deterministic md5-order quota selector. Scale shape: assignment is
+    map-side (centroid matrix in the kernel closure), quota is one
+    window per cell."""
+    from gemproc2caom2_spark.operators.mixing import domain_quota
+    from gemproc2caom2_spark.operators.similarity import np_seq_ivf_cells_udf
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    rows = (
+        emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    centroids = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+    assigned = emb.select(
+        "vec_id",
+        np_seq_ivf_cells_udf(centroids, 1)(F.col("embedding"))[0]
+        .cast("long")
+        .alias("cell"),
+    )
+    return domain_quota(
+        assigned, group_col="cell", id_col="vec_id", quota=50
+    ).select("vec_id", "cell", "sample_rank")
 def mix2_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-rate sampling: deterministic per-source Bernoulli keep
     (hex15 residue vs per-source basis points — operators/mixing.py
