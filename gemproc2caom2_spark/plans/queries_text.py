@@ -2316,6 +2316,9 @@ def mix4_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quota(
         assigned, group_col="cell", id_col="vec_id", quota=50
     ).select("vec_id", "cell", "sample_rank")
+
+
+@register("mix2_weighted_sample", _mix2_oracle_sql())
 def mix2_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-rate sampling: deterministic per-source Bernoulli keep
     (hex15 residue vs per-source basis points — operators/mixing.py
