@@ -75,6 +75,9 @@ HEADLINE = [
     "mix2_weighted_sample",
     "mix3_token_budget",
     "mix4_cluster_quota",
+    "mix5_frequency_resample",
+    "tx12_blocklist_filter",
+    "shuf1_training_order",
     "pack1_sequence_packing",
     "bpe1_merge_train",
     "bpe2_encode",

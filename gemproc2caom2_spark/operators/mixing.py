@@ -226,3 +226,93 @@ def weighted_sample(
     default_bp = F.lit(int(round(default_rate * 1000000)))
     rate_col = default_bp if rate_col is None else rate_col.otherwise(default_bp)
     return df.where(draw < rate_col)
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 1024,
+    tag: str = "torder",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: assign every
+    document a shard and a position so that reading shards 0..S-1 each
+    in position order visits the corpus in a fixed pseudo-random
+    permutation. The 'shuffle the corpus before training' step — at
+    100 TB you cannot materialize a permutation in memory, so the
+    distributed idiom is keyed-hash ordering: ``shard = h(id) mod S``,
+    ``pos = rank of h(id) within the shard`` (id as tie-break so the
+    order is total even under hash collisions).
+
+    Deterministic by construction: reruns, resumes and the SQL oracle
+    produce the identical (shard, pos) for every doc — a training job
+    can be restarted mid-epoch and resume at an exact (shard, pos)
+    offset, the todo-list resume contract applied to data ordering.
+    Vary ``tag`` to draw a fresh independent permutation per epoch.
+
+    Scale shape: ONE shuffle on ``shard`` (S reduce tasks), then one
+    sort of corpus/S rows per task. Size S so a shard is a few GB
+    (100 TB / 32k shards ≈ 3 GB per sort — comfortably in-memory);
+    the hash is uniform so there is no skew by design.
+    """
+    from gemproc2caom2_spark.functions.hashing import hex15_hash
+
+    draw = hex15_hash(
+        F.concat(F.lit(f"{tag}:"), F.col(id_col).cast("string"))
+    )
+    s = max(int(shards), 1)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_draw").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_draw", draw)
+        .withColumn("shard", (F.col("_draw") % s).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_draw")
+    )
+
+
+def frequency_resample(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "doc_id",
+    tag: str = "qres",
+) -> DataFrame:
+    """Level the corpus across buckets by downsampling over-represented
+    ones to the rarest bucket's count — importance resampling toward a
+    uniform bucket distribution (the DSIR/DoReMi move of re-weighting
+    by target/actual frequency, with the target fixed at uniform and
+    weights clamped to <=1 so it is a pure subsample: no duplication,
+    no fractional weights for the trainer to carry).
+
+    A doc is kept iff ``hex15(tag:id) % 10^6 < accept_bp(bucket)``
+    where ``accept_bp = (min_count * 10^6) DIV count`` — exact long
+    arithmetic, so reruns and the SQL oracle keep the identical subset,
+    and the expected kept size per bucket is min_count with binomial
+    concentration. Adds ``accept_bp`` alongside the bucket for audit.
+
+    Scale shape: one partial-aggregated groupBy over bucket ids (the
+    count table is #buckets rows — a broadcast dimension), a driver-free
+    min via a cross-joined 1-row aggregate, then a broadcast join back
+    and a map-side residue predicate. No corpus-sized shuffle, no
+    window: the corpus is touched by exactly two scans (count + mark)
+    or one if the caller caches upstream.
+    """
+    from gemproc2caom2_spark.functions.hashing import hex15_hash
+
+    counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_bc"))
+    min_c = counts.agg(F.min("_bc").alias("_minc"))
+    rates = (
+        counts.crossJoin(F.broadcast(min_c))
+        .withColumn(
+            "accept_bp",
+            F.expr("(_minc * 1000000) DIV _bc").cast("bigint"),
+        )
+        .select(bucket_col, "accept_bp")
+    )
+    draw = hex15_hash(
+        F.concat(F.lit(f"{tag}:"), F.col(id_col).cast("string"))
+    ) % 1000000
+    return (
+        df.join(F.broadcast(rates), on=bucket_col, how="inner")
+        .where(draw < F.col("accept_bp"))
+    )

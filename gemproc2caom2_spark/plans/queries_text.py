@@ -2380,3 +2380,95 @@ def mix3_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         budget=5000,
     ).select("doc_id", "source", "tokens", "quality", "cum_before", "selected")
+
+
+# ===========================================================================
+# blocklist filtering / training order / frequency resampling
+# ===========================================================================
+
+_TX12_BLOCKED = ("src13", "src3", "src7")
+_TX12_BADWORDS = ("casino", "dup")
+
+
+@register(
+    "tx12_blocklist_filter",
+    f"""
+    SELECT doc_id, source,
+           (source IN {_TX12_BLOCKED!r}) AS blocked_domain,
+           regexp_matches(lower(text), '\\b(casino|dup)\\b') AS has_badword,
+           (NOT (source IN {_TX12_BLOCKED!r})
+            AND NOT regexp_matches(lower(text), '\\b(casino|dup)\\b')) AS keep
+    FROM documents
+    """,
+)
+def tx12_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist + lexicon filter (C4's badwords/host gate; the
+    reference's known-bad suppression, composable.py:119-133, as a
+    broadcast dimension). Both gates map-side: broadcast left-join flag
+    + one word-boundary JVM regex pass — zero shuffles added to the
+    scan (operators/filters.py)."""
+    from gemproc2caom2_spark.operators.filters import blocklist_filter
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return blocklist_filter(
+        d, blocked_domains=_TX12_BLOCKED, badwords=_TX12_BADWORDS
+    ).select("doc_id", "source", "blocked_domain", "has_badword", "keep")
+
+
+_SHUF1_DRAW = hex15_hash_sql("('torder:' || doc_id::VARCHAR)")
+
+
+@register(
+    "shuf1_training_order",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SHUF1_DRAW} AS draw FROM documents)
+    SELECT doc_id, CAST(draw % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY draw % 8
+                                   ORDER BY draw ASC, doc_id ASC) AS BIGINT)
+             AS pos
+    FROM d
+    """,
+)
+def shuf1_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: (shard, pos)
+    from a keyed hash — the distributed 'shuffle the corpus before
+    training' step, resumable at an exact offset (operators/mixing.py
+    training_order: one shuffle on shard, per-shard sort of corpus/S
+    rows, no skew by construction)."""
+    from gemproc2caom2_spark.operators.mixing import training_order
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return training_order(d, id_col="doc_id", shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@register(
+    "mix5_frequency_resample",
+    f"""
+    WITH b AS (
+      SELECT doc_id, n_chars // 100 AS bucket FROM documents),
+    c AS (SELECT bucket, count(*) AS bc FROM b GROUP BY 1),
+    m AS (SELECT min(bc) AS minc FROM c),
+    r AS (SELECT bucket, (minc * 1000000) // bc AS accept_bp FROM c, m)
+    SELECT b.doc_id, b.bucket, r.accept_bp
+    FROM b JOIN r USING (bucket)
+    WHERE ({hex15_hash_sql("('qres:' || doc_id::VARCHAR)")} % 1000000)
+          < accept_bp
+    """,
+)
+def mix5_frequency_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling toward a uniform bucket distribution
+    (DSIR/DoReMi's target/actual re-weighting, clamped to a pure
+    subsample): over-represented length buckets are down-sampled to the
+    rarest bucket's count via an exact-arithmetic deterministic residue
+    draw (operators/mixing.py frequency_resample: groupBy count +
+    broadcast rate join, no corpus shuffle, no window)."""
+    from gemproc2caom2_spark.operators.mixing import frequency_resample
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    b = d.select("doc_id", F.expr("n_chars DIV 100").alias("bucket"))
+    return frequency_resample(b, bucket_col="bucket", id_col="doc_id").select(
+        "doc_id", "bucket", "accept_bp"
+    )

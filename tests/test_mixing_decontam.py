@@ -245,3 +245,81 @@ def test_token_budget_selection_exclusive_prefix_and_shards(spark):
     total_sh = sum(r.tokens for r in out_sh if r.selected)
     # each shard overshoots by at most one 10-token doc
     assert 55 <= total_sh <= 55 + 4 * 10
+
+
+def test_blocklist_filter_semantics(spark):
+    from gemproc2caom2_spark.operators.filters import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "badhost.com", "clean text here"),
+            (2, "good.org", "win at the casino tonight"),
+            (3, "good.org", "duplicate is not the badword dup is"),
+            (4, None, "null domain passes the domain gate"),
+            (5, "good.org", "CASINO uppercase still hits"),
+            (6, "good.org", "scasino embedded does not hit"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        r.doc_id: (r.blocked_domain, r.has_badword, r.keep)
+        for r in blocklist_filter(
+            df, blocked_domains=["badhost.com"], badwords=["casino", "dup"]
+        ).collect()
+    }
+    assert out[1] == (True, False, False)       # domain gate
+    assert out[2] == (False, True, False)       # badword gate
+    # \b boundary: "duplicate" must NOT match "dup", bare "dup" must
+    assert out[3] == (False, True, False)
+    assert out[4] == (False, False, True)       # null domain not blocked
+    assert out[5] == (False, True, False)       # case-insensitive
+    assert out[6] == (False, False, True)       # substring not a word
+
+
+def test_training_order_permutation_and_determinism(spark):
+    from gemproc2caom2_spark.operators.mixing import training_order
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = training_order(df, shards=4).collect()
+    b = training_order(df, shards=4).collect()
+    assert sorted((r.doc_id, r.shard, r.pos) for r in a) == sorted(
+        (r.doc_id, r.shard, r.pos) for r in b
+    )  # rerun-deterministic
+    # (shard, pos) is a bijection: every doc exactly once, positions
+    # contiguous 1..n within each shard
+    pairs = [(r.shard, r.pos) for r in a]
+    assert len(set(pairs)) == 200
+    by_shard: dict[int, list[int]] = {}
+    for s, p in pairs:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different tag draws a different permutation
+    c = training_order(df, shards=4, tag="epoch2").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in c} != {
+        (r.doc_id, r.shard, r.pos) for r in a
+    }
+
+
+def test_frequency_resample_levels_buckets(spark):
+    from gemproc2caom2_spark.operators.mixing import frequency_resample
+
+    # bucket 'rare' has 20 rows, 'hot' has 400 -> hot downsampled ~20
+    rows = [(i, "rare") for i in range(20)] + [
+        (1000 + i, "hot") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, bucket string")
+    out = frequency_resample(df, bucket_col="bucket").collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.bucket, []).append(r.doc_id)
+    # rarest bucket: accept_bp = 10^6 -> kept in full
+    assert sorted(kept["rare"]) == list(range(20))
+    # hot bucket: expected 20, binomial sd ~4.4 — assert a wide band
+    assert 5 <= len(kept["hot"]) <= 40
+    # deterministic rerun
+    out2 = frequency_resample(df, bucket_col="bucket").collect()
+    assert sorted((r.doc_id, r.bucket) for r in out) == sorted(
+        (r.doc_id, r.bucket) for r in out2
+    )
