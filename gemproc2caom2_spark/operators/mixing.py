@@ -291,18 +291,19 @@ def frequency_resample(
     concentration. Adds ``accept_bp`` alongside the bucket for audit.
 
     Scale shape: one partial-aggregated groupBy over bucket ids (the
-    count table is #buckets rows — a broadcast dimension), a driver-free
-    min via a cross-joined 1-row aggregate, then a broadcast join back
-    and a map-side residue predicate. No corpus-sized shuffle, no
-    window: the corpus is touched by exactly two scans (count + mark)
-    or one if the caller caches upstream.
+    count table is #buckets rows — a broadcast dimension), the min
+    taken by a window over that TINY frame (single-partition by design:
+    #buckets rows, not corpus rows — a cross-joined 1-row aggregate
+    would instead fork the plan and re-scan the corpus for the min),
+    then a broadcast join back and a map-side residue predicate. No
+    corpus-sized shuffle: the corpus is touched by exactly two scans
+    (count + mark) or one if the caller caches upstream.
     """
     from gemproc2caom2_spark.functions.hashing import hex15_hash
 
     counts = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_bc"))
-    min_c = counts.agg(F.min("_bc").alias("_minc"))
     rates = (
-        counts.crossJoin(F.broadcast(min_c))
+        counts.withColumn("_minc", F.min("_bc").over(Window.partitionBy()))
         .withColumn(
             "accept_bp",
             F.expr("(_minc * 1000000) DIV _bc").cast("bigint"),
