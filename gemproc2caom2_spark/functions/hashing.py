@@ -63,6 +63,33 @@ def url_normalize(url: Column | str) -> Column:
     return F.regexp_replace(no_port, r"(.)/$", r"$1")
 
 
+def url_normalize_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`url_normalize` for oracle SQL.
+
+    Mirrors the Column chain regex-for-regex. Every pattern is
+    anchored (or greedy to end-of-string), so DuckDB's
+    replace-first-match semantics coincide with Spark's
+    replace-all-matches semantics on each step.
+    """
+    no_frag = f"regexp_replace({expr}, '#.*$', '')"
+    scheme_host = (
+        f"lower(regexp_extract({no_frag},"
+        f" '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1))"
+    )
+    rest = (
+        f"regexp_replace({no_frag}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')"
+    )
+    joined = (
+        f"CASE WHEN {scheme_host} = '' THEN {no_frag}"
+        f" ELSE {scheme_host} || {rest} END"
+    )
+    p80 = (
+        f"regexp_replace({joined}, '^(http://[^/:]+):80(/|$)', '\\1\\2')"
+    )
+    p443 = f"regexp_replace({p80}, '^(https://[^/:]+):443(/|$)', '\\1\\2')"
+    return f"regexp_replace({p443}, '(.)/$', '\\1')"
+
+
 def url_host(url: Column | str) -> Column:
     """Host component of a url (the skew key: hot hosts need salting)."""
     c = F.col(url) if isinstance(url, str) else url

@@ -317,3 +317,94 @@ def frequency_resample(
         df.join(F.broadcast(rates), on=bucket_col, how="inner")
         .where(draw < F.col("accept_bp"))
     )
+
+
+def holdout_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_bp: int = 9000,
+    val_bp: int = 9500,
+    tag: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by keyed hash residue.
+
+    A training corpus needs a holdout that is (a) disjoint, (b) stable
+    under reruns and corpus growth — a doc's split NEVER changes when
+    other docs are added or removed — and (c) reproducible by an
+    external auditor. Random splits fail (b) and (c); this one assigns
+    ``split`` from ``hex15(tag:id) % 10000``: ``train`` below
+    ``train_bp`` basis points, ``val`` below ``val_bp``, else
+    ``test``. The same hex15 keyed-hash family as every other sampling
+    operator, so the SQL oracle reproduces the assignment exactly.
+
+    The reference's analog is the fixed todo/rejected partition of its
+    work list (composable.py:119-133): membership is a pure function
+    of the entry id, not of execution order.
+
+    Map-only: a residue + two comparisons inside whole-stage codegen.
+    No shuffle, no state — the 100-TB version is exactly this plan.
+    """
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{tag}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    return df.withColumn(
+        "split",
+        F.when(draw < train_bp, F.lit("train"))
+        .when(draw < val_bp, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 2048,
+    stride: int = 1536,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the context-window chunking step that turns curated documents into
+    trainable sequences (size > stride gives ``size - stride`` overlap
+    so no boundary content is ever lost to truncation).
+
+    Chunk count is exact long arithmetic
+    (``1 + ceil((len - size) / stride)`` via DIV), generated as a
+    ``sequence`` + ``explode`` and sliced with ``substring`` — all
+    JVM-side, so the fan-out never leaves whole-stage codegen and the
+    SQL oracle reproduces it with ``range``/``unnest``. Adds
+    ``chunk_id`` (0-based) and ``chunk`` (the window; the final one may
+    be shorter).
+
+    Scale shape: map-side explode — output rows ~ corpus_chars /
+    stride, no shuffle. The explode multiplies bytes by the overlap
+    factor only (size/stride); partition sizing is governed by
+    ``spark.sql.files.maxPartitionBytes`` on the upstream scan exactly
+    as for the unchunked corpus.
+    """
+    n = F.length(F.col(text_col))
+    n_chunks = F.when(n <= size, F.lit(1).cast("bigint")).otherwise(
+        F.expr(
+            f"1 + (length({text_col}) - {size} + {stride} - 1) DIV {stride}"
+        ).cast("bigint")
+    )
+    idx = F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+    return (
+        df.withColumn("chunk_id", idx)
+        .withColumn(
+            "chunk",
+            F.substring(
+                F.col(text_col),
+                (F.col("chunk_id") * stride + 1).cast("int"),
+                F.lit(size),
+            ),
+        )
+    )

@@ -2472,3 +2472,176 @@ def mix5_frequency_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequency_resample(b, bucket_col="bucket", id_col="doc_id").select(
         "doc_id", "bucket", "accept_bp"
     )
+
+
+# ===========================================================================
+# Crawl-corpus maintenance: URL canonicalization, recrawl versioning,
+# deterministic holdout split (operators/crawl.py, operators/mixing.py)
+# ===========================================================================
+
+from gemproc2caom2_spark.functions.hashing import url_normalize_sql as _un_sql
+from gemproc2caom2_spark.operators.crawl import canonicalize_url_sql as _cu_sql
+
+# messy-raw-url synthesis shared (structurally) by the Spark query and
+# the oracle: scheme/port/trailing-slash/param-order/fragment variants
+# cycle deterministically by doc_id residues
+_URL1_RAW_SQL = """
+    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://WWW.' WHEN 1 THEN 'http://www.'
+        ELSE 'https://' END)
+    || source || '.Example.com'
+    || (CASE WHEN doc_id % 7 = 0 THEN ':80' ELSE '' END)
+    || '/Page/' || doc_id::VARCHAR
+    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+        WHEN 1 THEN '?b=2&a=1&utm_campaign=x'
+        WHEN 2 THEN '?a=1&b=2&gclid=abc' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)
+"""
+
+
+@register(
+    "url1_canonicalize",
+    f"""
+    WITH r AS (SELECT doc_id, {_URL1_RAW_SQL} AS url_raw FROM documents),
+    n AS (SELECT doc_id, url_raw, {_un_sql("url_raw")} AS norm FROM r),
+    c AS (SELECT doc_id, url_raw, {_cu_sql("norm")} AS url_canon FROM n)
+    SELECT doc_id, url_raw, url_canon,
+           {hex15_hash_sql("url_canon")} AS url_key
+    FROM c
+    """,
+)
+def url1_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl-URL canonicalization: case/port/fragment/slash
+    normalization + www-fold + tracking-param strip + query-param sort
+    (operators/crawl.py canonicalize_url). The reference's entry-name
+    repair (builder.py:149-153) as the key-making step of URL dedup.
+    Pure codegen'd Column chain — zero shuffles, zero Python."""
+    from gemproc2caom2_spark.operators.crawl import canonicalize_url
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.when(did % 3 == 0, "HTTP://WWW.")
+        .when(did % 3 == 1, "http://www.")
+        .otherwise("https://"),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(did % 7 == 0, ":80").otherwise(""),
+        F.lit("/Page/"),
+        did.cast("string"),
+        F.when(did % 2 == 0, "/").otherwise(""),
+        F.when(did % 4 == 0, "?utm_source=feed&b=2&a=1")
+        .when(did % 4 == 1, "?b=2&a=1&utm_campaign=x")
+        .when(did % 4 == 2, "?a=1&b=2&gclid=abc")
+        .otherwise(""),
+        F.when(did % 5 == 0, "#Section-2").otherwise(""),
+    )
+    canon = canonicalize_url(raw)
+    return d.select(
+        "doc_id",
+        raw.alias("url_raw"),
+        canon.alias("url_canon"),
+        hex15_hash(canon).alias("url_key"),
+    )
+
+
+@register(
+    "snap1_recrawl_latest",
+    f"""
+    WITH c AS (
+      SELECT doc_id, doc_id // 2 AS url_id,
+             1600000000 + doc_id * 3600 AS crawl_ts,
+             {hex15_hash_sql("('fp:' || CASE WHEN doc_id % 4 < 2 THEN 's' || (doc_id // 2)::VARCHAR ELSE 'v' || doc_id::VARCHAR END)")} AS fp
+      FROM documents),
+    w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY url_id
+                                ORDER BY crawl_ts DESC, doc_id DESC) AS rn,
+             lead(fp) OVER (PARTITION BY url_id
+                            ORDER BY crawl_ts DESC, doc_id DESC) AS prev_fp,
+             count(*) OVER (PARTITION BY url_id) AS n_crawls
+      FROM c)
+    SELECT url_id, doc_id, crawl_ts, n_crawls,
+           coalesce(fp <> prev_fp, false) AS changed
+    FROM w WHERE rn = 1
+    """,
+)
+def snap1_recrawl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl versioning: collapse a two-crawl corpus to the newest
+    fetch per url with fetch count + changed flag
+    (operators/crawl.py latest_crawl_wins) — the reference's
+    only-reprocess-changed-entries todo diffing (composable.py:119-133)
+    as a single url-keyed window. One shuffle; per-url state bounded by
+    the recrawl count."""
+    from gemproc2caom2_spark.operators.crawl import latest_crawl_wins
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    crawls = d.select(
+        did.alias("doc_id"),
+        F.expr("doc_id DIV 2").alias("url_id"),
+        (F.lit(1600000000) + did * 3600).cast("bigint").alias("crawl_ts"),
+        hex15_hash(
+            F.concat(
+                F.lit("fp:"),
+                F.when(
+                    did % 4 < 2,
+                    F.concat(F.lit("s"), F.expr("doc_id DIV 2").cast("string")),
+                ).otherwise(F.concat(F.lit("v"), did.cast("string"))),
+            )
+        ).alias("fp"),
+    )
+    return latest_crawl_wins(
+        crawls, url_col="url_id", ts_col="crawl_ts", fp_col="fp"
+    ).select("url_id", "doc_id", "crawl_ts", "n_crawls", "changed")
+
+
+@register(
+    "split1_holdout",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {hex15_hash_sql("('split:' || doc_id::VARCHAR)")} % 10000 < 9000 THEN 'train'
+                WHEN {hex15_hash_sql("('split:' || doc_id::VARCHAR)")} % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split1_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by keyed-hash residue
+    (operators/mixing.py holdout_split): stable under corpus growth,
+    rerun-identical, auditor-reproducible. Map-only codegen — the
+    100-TB plan is the same plan."""
+    from gemproc2caom2_spark.operators.mixing import holdout_split
+
+    d = load(spark, sf_dir, "documents")
+    return holdout_split(d, id_col="doc_id").select(
+        "doc_id", "source", "split"
+    )
+
+
+@register(
+    "chunk1_sliding_window",
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) <= 500 THEN 1
+                  ELSE 1 + (length(text) - 500 + 399) // 400 END AS nc
+      FROM documents),
+    e AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_id FROM n)
+    SELECT doc_id, chunk_id,
+           substring(text, (chunk_id * 400 + 1)::INT, 500) AS chunk
+    FROM e
+    """,
+)
+def chunk1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping character windows
+    (size 500, stride 400) per document, exact long arithmetic for the
+    window count (operators/mixing.py sliding_chunks). Map-side
+    sequence+explode+substring inside codegen — no shuffle; output
+    scales as corpus_chars/stride."""
+    from gemproc2caom2_spark.operators.mixing import sliding_chunks
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return sliding_chunks(d, size=500, stride=400).select(
+        "doc_id", "chunk_id", "chunk"
+    )

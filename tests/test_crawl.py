@@ -1,0 +1,137 @@
+"""Crawl-maintenance operators: URL canonicalization, recrawl
+latest-version collapse, deterministic holdout split.
+
+Reference parity model: entry-name repair (builder.py:149-153) and
+only-reprocess-changed todo diffing (composable.py:119-133).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gemproc2caom2_spark.operators.crawl import (
+    canonicalize_url,
+    latest_crawl_wins,
+)
+from gemproc2caom2_spark.operators.mixing import holdout_split
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(canonicalize_url("url").alias("c")).collect()
+    return [r["c"] for r in rows]
+
+
+def test_canonicalize_url_cases(spark):
+    got = _canon(
+        spark,
+        [
+            # case fold + www strip + fragment strip + default port
+            "HTTP://WWW.Example.COM:80/Page/1#frag",
+            # tracking params dropped, survivors sorted
+            "https://example.com/p?utm_source=feed&b=2&a=1",
+            "https://example.com/p?b=2&a=1&utm_campaign=x",
+            "https://example.com/p?a=1&b=2&gclid=abc",
+            # all params tracking => query gone entirely
+            "https://example.com/p?utm_medium=email",
+            # no query: untouched beyond normalization
+            "https://example.com/Page/2/",
+            # https on port 80 is a DISTINCT origin: port must survive
+            "https://example.com:80/p",
+        ],
+    )
+    assert got == [
+        "http://example.com/Page/1",
+        "https://example.com/p?a=1&b=2",
+        "https://example.com/p?a=1&b=2",
+        "https://example.com/p?a=1&b=2",
+        "https://example.com/p",
+        "https://example.com/Page/2",
+        "https://example.com:80/p",
+    ]
+
+
+def test_canonicalize_url_idempotent(spark):
+    raw = [
+        "HTTP://WWW.Example.COM:80/Page/1#frag",
+        "https://example.com/p?utm_source=feed&b=2&a=1",
+        "https://sub.example.com/A/B?z=9&y=8&ref",
+    ]
+    once = _canon(spark, raw)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_latest_crawl_wins_semantics(spark):
+    rows = [
+        # url A: 3 fetches, content changes at the last fetch
+        (1, "A", 100, "h1"),
+        (2, "A", 200, "h1"),
+        (3, "A", 300, "h2"),
+        # url B: 2 fetches, unchanged
+        (4, "B", 100, "h9"),
+        (5, "B", 250, "h9"),
+        # url C: single fetch => changed=false by convention
+        (6, "C", 50, "h5"),
+        # url D: timestamp tie => higher doc_id wins deterministically
+        (7, "D", 80, "x1"),
+        (8, "D", 80, "x2"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "url_key", "crawl_ts", "fingerprint"]
+    )
+    out = {
+        r["url_key"]: r
+        for r in latest_crawl_wins(df).collect()
+    }
+    assert len(out) == 4
+    assert (out["A"]["doc_id"], out["A"]["n_crawls"], out["A"]["changed"]) == (
+        3, 3, True,
+    )
+    assert (out["B"]["doc_id"], out["B"]["n_crawls"], out["B"]["changed"]) == (
+        5, 2, False,
+    )
+    assert (out["C"]["doc_id"], out["C"]["n_crawls"], out["C"]["changed"]) == (
+        6, 1, False,
+    )
+    # tie broken on doc_id desc; fingerprints differ => changed
+    assert (out["D"]["doc_id"], out["D"]["changed"]) == (8, True)
+
+
+def test_holdout_split_stable_and_disjoint(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = holdout_split(df).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    # 90/5/5 split with binomial slack
+    assert 1700 < counts["train"] < 1900
+    assert 50 < counts["val"] < 150
+    assert 50 < counts["test"] < 150
+    # growth-stability: the assignment of doc 0..99 is unchanged when
+    # computed over a 20x smaller corpus
+    small = holdout_split(
+        spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    ).collect()
+    big = {
+        r["doc_id"]: r["split"]
+        for r in holdout_split(df).filter(F.col("doc_id") < 100).collect()
+    }
+    assert all(big[r["doc_id"]] == r["split"] for r in small)
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    from gemproc2caom2_spark.operators.mixing import sliding_chunks
+
+    rows = [(1, "a" * 10), (2, "x" * 25), (3, ""), (4, "short")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sliding_chunks(df, size=10, stride=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+    # exactly-size doc: one chunk
+    assert by_doc[1] == {0: "a" * 10}
+    # 25 chars, size 10 stride 8: chunks at 0,8,16 => 3 chunks,
+    # last truncated to 9; reassembling strides covers every char
+    assert by_doc[2] == {0: "x" * 10, 1: "x" * 10, 2: "x" * 9}
+    assert by_doc[3] == {0: ""}
+    assert by_doc[4] == {0: "short"}
