@@ -79,6 +79,9 @@ HEADLINE = [
     "tx12_blocklist_filter",
     "shuf1_training_order",
     "pack1_sequence_packing",
+    "url1_canonicalize",
+    "snap1_recrawl_latest",
+    "chunk1_sliding_window",
     "bpe1_merge_train",
     "bpe2_encode",
     "j5_lineage_fold",
