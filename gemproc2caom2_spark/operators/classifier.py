@@ -157,3 +157,41 @@ def logit_sql(weights_rel: str, features: list[str]) -> str:
     for name, feat in zip(FEATURE_NAMES, features):
         expr = f"({expr} + {weights_rel}.w_{name} * {feat})"
     return f"round({expr}, 6)"
+
+
+def confusion_f1(
+    df: DataFrame,
+    label_col: str = "keep",
+    pred_col: str = "model_keep",
+) -> DataFrame:
+    """Keep/drop classification quality vs reference labels: the
+    engine's own rendering of the north-star acceptance metric
+    (keep/drop F1 >= 0.99 against the reference's decisions — the
+    reference's fixture-assert pattern, tests/test_main_app.py:171-186,
+    turned into a distributed evaluation operator).
+
+    Input: one row per document with a boolean reference ``label_col``
+    and a boolean prediction ``pred_col``. Output: ONE row —
+    tp/fp/fn/tn counts plus precision_r6 / recall_r6 / f1_r6 (rounded
+    doubles, null when undefined).
+
+    Scale shape: a single partial-aggregated global sum — four
+    conditional counters combined map-side, one 4-long-row shuffle to
+    a single reducer. The 100-TB evaluation costs one corpus scan.
+    """
+    lbl, prd = F.col(label_col), F.col(pred_col)
+    agg = df.agg(
+        F.sum((lbl & prd).cast("long")).alias("tp"),
+        F.sum(((~lbl) & prd).cast("long")).alias("fp"),
+        F.sum((lbl & (~prd)).cast("long")).alias("fn"),
+        F.sum(((~lbl) & (~prd)).cast("long")).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = tp / F.nullif(tp + fp, F.lit(0))
+    rec = tp / F.nullif(tp + fn, F.lit(0))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.round(prec, 6).alias("precision_r6"),
+        F.round(rec, 6).alias("recall_r6"),
+        F.round(2 * prec * rec / F.nullif(prec + rec, F.lit(0)), 6).alias("f1_r6"),
+    )

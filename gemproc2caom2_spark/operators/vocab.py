@@ -114,3 +114,55 @@ def doc_keywords(
         .where(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("bigint"))
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 50,
+) -> DataFrame:
+    """Token -> sorted posting list over the corpus, for tokens with
+    document frequency <= ``max_df`` — the retrieval/audit index built
+    from the same whitespace tokenization as :func:`vocabulary`.
+
+    Output: (token, df BIGINT, postings STRING — comma-joined sorted
+    doc ids). Postings are a joined string, not an array, so external
+    verifiers compare byte-for-byte.
+
+    Scale shape, deliberately TWO-PHASE: phase 1 computes df per token
+    (map-side-combined groupBy over distinct (token, doc) pairs) and
+    keeps only tokens under the cap; phase 2 collects postings ONLY
+    for surviving tokens via a token-keyed join. Collecting first and
+    filtering after would materialize the posting list of every
+    stopword — 'the' at 10^12 docs is a single 10^12-element
+    aggregation state on one reducer. The df cap is therefore a
+    correctness-of-scale bound, not a tuning knob: hot tokens are
+    excluded BEFORE any list state exists, so per-reducer state is
+    bounded by max_df elements per token. Both shuffles hash on
+    token, so AQE plans the join from co-partitioned exchanges.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    base = df.where(F.col(text_col).isNotNull() & (t != ""))
+    pairs = (
+        base.select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
+        .distinct()
+    )
+    dfreq = (
+        pairs.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    return (
+        pairs.join(dfreq, on="token", how="inner")
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )

@@ -2645,3 +2645,112 @@ def chunk1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_chunks(d, size=500, stride=400).select(
         "doc_id", "chunk_id", "chunk"
     )
+
+
+@register(
+    "idx1_inverted_index",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(lower(text)) <> ''
+    ),
+    pairs AS (SELECT DISTINCT doc_id, token FROM toks),
+    dfr AS (
+      SELECT token, count(*) AS df FROM pairs
+      GROUP BY token HAVING count(*) <= 50)
+    SELECT p.token, dfr.df::BIGINT AS df,
+           string_agg(p.doc_id::VARCHAR, ',' ORDER BY p.doc_id) AS postings
+    FROM pairs p JOIN dfr USING (token)
+    GROUP BY p.token, dfr.df
+    """,
+)
+def idx1_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (token -> df + sorted posting string) for tokens
+    under a df cap — two-phase by construction so no stopword posting
+    list ever materializes (operators/vocab.py inverted_index: df
+    filter BEFORE any collect state; both shuffles hash on token)."""
+    from gemproc2caom2_spark.operators.vocab import inverted_index
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return inverted_index(d, text_col="text", id_col="doc_id", max_df=50)
+
+
+def _eval1_oracle_sql() -> str:
+    from gemproc2caom2_spark.operators.classifier import feature_sql, logit_sql
+
+    logit = logit_sql(
+        "fx",
+        feature_sql("p.doc_len", "p.n_words", "p.symbol_ratio",
+                    "p.repeated_line_frac", "p.rare_char_ratio"),
+    )
+    pr = "(tp / nullif(tp + fp, 0))"
+    rc = "(tp / nullif(tp + fn, 0))"
+    return (
+        _VERDICT_CTES
+        + f"""
+    , lbl AS (
+      SELECT doc_id,
+             (coalesce(cheap, CASE WHEN perplexity > 60.0
+                                   THEN 'perplexity' END) IS NULL) AS keep
+      FROM p),
+    mdl AS (
+      SELECT p.doc_id, ({logit} > 0) AS mk
+      FROM p CROSS JOIN read_parquet('{_QLR_FIXTURE}') fx
+      WHERE p.text IS NOT NULL AND p.doc_len > 0),
+    j AS (SELECT lbl.keep AS keep, coalesce(mdl.mk, false) AS mk
+          FROM lbl LEFT JOIN mdl USING (doc_id)),
+    agg AS (SELECT
+      sum(CASE WHEN keep AND mk THEN 1 ELSE 0 END)::BIGINT AS tp,
+      sum(CASE WHEN (NOT keep) AND mk THEN 1 ELSE 0 END)::BIGINT AS fp,
+      sum(CASE WHEN keep AND NOT mk THEN 1 ELSE 0 END)::BIGINT AS fn,
+      sum(CASE WHEN (NOT keep) AND NOT mk THEN 1 ELSE 0 END)::BIGINT AS tn
+      FROM j)
+    SELECT tp, fp, fn, tn,
+           round({pr}, 6) AS precision_r6,
+           round({rc}, 6) AS recall_r6,
+           round(2 * {pr} * {rc} / nullif({pr} + {rc}, 0), 6) AS f1_r6
+    FROM agg
+    """
+    )
+
+
+@register("eval1_keep_drop_f1", _eval1_oracle_sql())
+def eval1_keep_drop_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star acceptance metric computed BY the engine: F1 of
+    the trained quality classifier's keep/drop against the full rule
+    pipeline's verdict (reference labels), as one corpus scan + a
+    4-counter global aggregate (operators/classifier.py confusion_f1).
+    Mirrors the reference's fixture-assert acceptance
+    (tests/test_main_app.py:171-186) as a distributed evaluation."""
+    from gemproc2caom2_spark.operators.classifier import (
+        confusion_f1,
+        quality_logit_expr,
+    )
+    from gemproc2caom2_spark.plans.pipeline import curate
+
+    d0 = load(spark, sf_dir, "documents")
+    d = d0.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2025-07-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    labels = curate(d, dedup=False).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "keep",
+    )
+    w = spark.read.parquet(_QLR_FIXTURE).first().asDict()
+    preds = (
+        d0.where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            (quality_logit_expr(quality_struct("text"), w) > 0).alias("mk"),
+        )
+    )
+    j = labels.join(preds, on="doc_id", how="left").select(
+        "keep", F.coalesce(F.col("mk"), F.lit(False)).alias("mk")
+    )
+    return confusion_f1(j, label_col="keep", pred_col="mk")

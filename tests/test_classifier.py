@@ -59,3 +59,33 @@ def test_logit_deterministic_across_partitionings(spark):
 
     base = corpus.where(F.length("text") > 0)
     assert score(base.repartition(1)) == score(base.repartition(13))
+
+
+def test_confusion_f1_exact_counts(spark):
+    from gemproc2caom2_spark.operators.classifier import confusion_f1
+
+    rows = (
+        [(True, True)] * 6      # tp
+        + [(False, True)] * 2   # fp
+        + [(True, False)] * 2   # fn
+        + [(False, False)] * 5  # tn
+    )
+    df = spark.createDataFrame(rows, ["keep", "model_keep"])
+    r = confusion_f1(df).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (6, 2, 2, 5)
+    assert r["precision_r6"] == 0.75
+    assert r["recall_r6"] == 0.75
+    assert r["f1_r6"] == 0.75
+
+
+def test_confusion_f1_degenerate_no_positive_preds(spark):
+    from gemproc2caom2_spark.operators.classifier import confusion_f1
+
+    df = spark.createDataFrame(
+        [(True, False), (False, False)], ["keep", "model_keep"]
+    )
+    r = confusion_f1(df).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 1, 1)
+    # precision undefined (no predicted positives) => null, not crash
+    assert r["precision_r6"] is None and r["f1_r6"] is None
+    assert r["recall_r6"] == 0.0

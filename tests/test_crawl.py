@@ -135,3 +135,20 @@ def test_sliding_chunks_cover_and_overlap(spark):
     assert by_doc[2] == {0: "x" * 10, 1: "x" * 10, 2: "x" * 9}
     assert by_doc[3] == {0: ""}
     assert by_doc[4] == {0: "short"}
+
+
+def test_inverted_index_cap_and_postings(spark):
+    from gemproc2caom2_spark.operators.vocab import inverted_index
+
+    rows = [
+        (3, "alpha beta"),
+        (1, "alpha beta beta"),
+        (2, "alpha gamma"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r for r in inverted_index(df, max_df=2).collect()}
+    # 'alpha' df=3 > cap => excluded BEFORE any posting state
+    assert "alpha" not in out
+    # within-doc repeats collapse (distinct pairs); postings sorted
+    assert (out["beta"]["df"], out["beta"]["postings"]) == (2, "1,3")
+    assert (out["gamma"]["df"], out["gamma"]["postings"]) == (1, "2")
