@@ -825,3 +825,67 @@ def unpersist_boilerplate_cache(df: DataFrame) -> None:
     p = getattr(df, "_lines_persisted", None)
     if p is not None:
         p.unpersist()
+
+
+def mark_span_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact k-token-span overlap marking — the span-level dedup family
+    (dedup-training-data style: two documents sharing ANY verbatim
+    k-token span are near-copies even when their MinHash/Jaccard
+    similarity is low, e.g. a paragraph quoted into an otherwise new
+    page). Distinct from the three existing families: MinHash/LSH
+    (whole-doc similarity), boilerplate lines (exact line corpus df),
+    n-gram Jaccard (sampled-shingle ratio).
+
+    Per document: ``n_spans`` (token_count - k + 1 sliding positions;
+    documents shorter than k tokens produce no row), ``n_shared``
+    (positions whose span hash occurs in >= 2 DISTINCT documents),
+    ``span_flagged`` (any shared span).
+    Span hashes are hex15 of the space-joined token window, so the SQL
+    oracle reproduces them bit-for-bit.
+
+    Scale shape: the span explode is corpus_tokens rows of thin
+    (id, hash) longs-after-hash; the shared-span set comes from ONE
+    map-side-combined groupBy over span hashes with a two-phase
+    count_distinct bounding hot spans (the boilerplate-line shape,
+    remove_boilerplate_lines above); the per-doc fold-back is a second
+    groupBy on the doc id. No pair enumeration anywhere — a span
+    shared by S documents costs S rows, never S^2.
+    """
+    from gemproc2caom2_spark.functions.hashing import hex15_hash
+
+    t = F.trim(F.lower(F.col(text_col)))
+    base = df.where(F.col(text_col).isNotNull() & (t != "")).select(
+        F.col(id_col), F.split(t, r"\s+").alias("_toks")
+    )
+    n = F.size("_toks")
+    spans = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: hex15_hash(
+                        F.concat_ws(" ", F.slice("_toks", i, k))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        ).alias("_sh"),
+    )
+    shared = (
+        spans.groupBy("_sh")
+        .agg(F.count_distinct(id_col).alias("_docs"))
+        .where(F.col("_docs") >= 2)
+        .select("_sh")
+    )
+    marked = spans.join(shared.withColumn("_is_shared", F.lit(1)), on="_sh", how="left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("_is_shared"), F.lit(0))).cast("bigint").alias("n_shared"),
+    )
+    return per_doc.withColumn("span_flagged", F.col("n_shared") > 0)

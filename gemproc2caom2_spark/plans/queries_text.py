@@ -2754,3 +2754,41 @@ def eval1_keep_drop_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep", F.coalesce(F.col("mk"), F.lit(False)).alias("mk")
     )
     return confusion_f1(j, label_col="keep", pred_col="mk")
+
+
+@register(
+    "dd9_span_overlap",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(lower(text)) <> ''),
+    spans AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 8
+                    THEN list_transform(range(1, len(toks) - 6),
+                         i -> ('0x' || substring(md5(array_to_string(
+                                  list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT)
+                    ELSE []::BIGINT[] END) AS sh
+      FROM base),
+    shared AS (
+      SELECT sh FROM spans GROUP BY sh HAVING count(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN sh2.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_shared,
+           (sum(CASE WHEN sh2.sh IS NOT NULL THEN 1 ELSE 0 END) > 0)
+             AS span_flagged
+    FROM spans s LEFT JOIN shared sh2 USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def dd9_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup marking: any verbatim 8-token window
+    shared by >= 2 documents flags both (operators/dedup.py
+    mark_span_overlap — thin hash explode, two-phase distinct-doc
+    count, fold-back; a span shared by S docs costs S rows, never
+    S^2). The fourth dedup family next to MinHash/LSH, boilerplate
+    lines, and n-gram Jaccard."""
+    from gemproc2caom2_spark.operators.dedup import mark_span_overlap
+
+    d = load(spark, sf_dir, "documents", spread=True)
+    return mark_span_overlap(d, text_col="text", id_col="doc_id", k=8)

@@ -308,3 +308,25 @@ def test_semantic_marking_flags_cosine_cluster(spark):
     assert not out[1].is_duplicate and out[1].canonical_id is None
     assert not out[4].is_duplicate
     assert not out[5].is_duplicate
+
+
+def test_mark_span_overlap_semantics(spark):
+    from gemproc2caom2_spark.operators.dedup import mark_span_overlap
+
+    shared8 = "one two three four five six seven eight"
+    rows = [
+        (1, shared8 + " tail-a unique-a"),
+        (2, "head-b " + shared8 + " tail-b"),
+        (3, "totally different words with no overlap at all here ok"),
+        (4, "too short"),  # < 8 tokens: no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in mark_span_overlap(df, k=8).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc1: 10 tokens -> 3 spans; the leading 8-token span is verbatim
+    # in doc2 => flagged
+    assert out[1]["n_spans"] == 3 and out[1]["span_flagged"]
+    assert out[1]["n_shared"] >= 1
+    assert out[2]["n_spans"] == 3 and out[2]["span_flagged"]
+    assert out[3]["n_spans"] == 4 and not out[3]["span_flagged"]
+    assert out[3]["n_shared"] == 0
