@@ -328,5 +328,5 @@ def test_mark_span_overlap_semantics(spark):
     assert out[1]["n_spans"] == 3 and out[1]["span_flagged"]
     assert out[1]["n_shared"] >= 1
     assert out[2]["n_spans"] == 3 and out[2]["span_flagged"]
-    assert out[3]["n_spans"] == 4 and not out[3]["span_flagged"]
+    assert out[3]["n_spans"] == 3 and not out[3]["span_flagged"]
     assert out[3]["n_shared"] == 0
