@@ -56,6 +56,7 @@ HEADLINE = [
     "dd6_boilerplate_lines",
     "dd7_simhash_near_dup",
     "dd8_cluster_representatives",
+    "dd9_span_overlap",
     "sim1_cosine_topk",
     "sim3_ivf_topk",
     "emb2_semantic_near_dup_text",

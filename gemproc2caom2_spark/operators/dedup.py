@@ -839,7 +839,9 @@ def mark_span_overlap(
     similarity is low, e.g. a paragraph quoted into an otherwise new
     page). Distinct from the three existing families: MinHash/LSH
     (whole-doc similarity), boilerplate lines (exact line corpus df),
-    n-gram Jaccard (sampled-shingle ratio).
+    n-gram Jaccard (sampled-shingle ratio). Reference analog: the V4
+    keep=false drop rule applied per offending artifact
+    (/root/reference/gemProc2caom2/main_app.py:221-224).
 
     Per document: ``n_spans`` (token_count - k + 1 sliding positions;
     documents shorter than k tokens produce no row), ``n_shared``
