@@ -121,10 +121,15 @@ def inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int = 50,
+    ngram: int = 1,
 ) -> DataFrame:
-    """Token -> sorted posting list over the corpus, for tokens with
+    """Term -> sorted posting list over the corpus, for terms with
     document frequency <= ``max_df`` — the retrieval/audit index built
     from the same whitespace tokenization as :func:`vocabulary`.
+    ``ngram`` > 1 indexes space-joined n-token phrases instead of
+    single tokens (a phrase index is the useful granularity when the
+    unigram vocabulary is small relative to the corpus and every
+    single token would blow the df cap).
 
     Output: (token, df BIGINT, postings STRING — comma-joined sorted
     doc ids). Postings are a joined string, not an array, so external
@@ -144,10 +149,21 @@ def inverted_index(
     """
     t = F.trim(F.lower(F.col(text_col)))
     base = df.where(F.col(text_col).isNotNull() & (t != ""))
-    pairs = (
-        base.select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("token"))
-        .distinct()
-    )
+    if ngram <= 1:
+        terms = F.explode(F.split(t, r"\s+"))
+    else:
+        toks = F.split(t, r"\s+")
+        n = F.size(toks)
+        terms = F.explode(
+            F.when(
+                n >= ngram,
+                F.transform(
+                    F.sequence(F.lit(1), n - (ngram - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    pairs = base.select(F.col(id_col), terms.alias("token")).distinct()
     dfreq = (
         pairs.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))

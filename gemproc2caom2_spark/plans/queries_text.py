@@ -2650,11 +2650,16 @@ def chunk1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "idx1_inverted_index",
     r"""
-    WITH toks AS (
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(lower(text)) <> ''),
+    toks AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-      FROM documents WHERE text IS NOT NULL AND trim(lower(text)) <> ''
-    ),
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE []::VARCHAR[] END) AS token
+      FROM base),
     pairs AS (SELECT DISTINCT doc_id, token FROM toks),
     dfr AS (
       SELECT token, count(*) AS df FROM pairs
@@ -2666,14 +2671,20 @@ def chunk1_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def idx1_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted index (token -> df + sorted posting string) for tokens
-    under a df cap — two-phase by construction so no stopword posting
-    list ever materializes (operators/vocab.py inverted_index: df
-    filter BEFORE any collect state; both shuffles hash on token)."""
+    """Inverted PHRASE index (trigram -> df + sorted posting string)
+    for phrases under a df cap — two-phase by construction so no
+    hot-phrase posting list ever materializes (operators/vocab.py
+    inverted_index: df filter BEFORE any collect state; both shuffles
+    hash on the phrase). Trigram granularity because this corpus's
+    unigram vocabulary is tiny (31 tokens, all over the cap) — the
+    phrase index is also the quotation-lookup structure dedup
+    forensics wants."""
     from gemproc2caom2_spark.operators.vocab import inverted_index
 
     d = load(spark, sf_dir, "documents", spread=True)
-    return inverted_index(d, text_col="text", id_col="doc_id", max_df=50)
+    return inverted_index(
+        d, text_col="text", id_col="doc_id", max_df=50, ngram=3
+    )
 
 
 def _eval1_oracle_sql() -> str:

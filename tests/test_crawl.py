@@ -152,3 +152,19 @@ def test_inverted_index_cap_and_postings(spark):
     # within-doc repeats collapse (distinct pairs); postings sorted
     assert (out["beta"]["df"], out["beta"]["postings"]) == (2, "1,3")
     assert (out["gamma"]["df"], out["gamma"]["postings"]) == (1, "2")
+
+
+def test_inverted_index_trigram_phrases(spark):
+    from gemproc2caom2_spark.operators.vocab import inverted_index
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "a quick brown fox too"),
+        (3, "hi"),  # < 3 tokens: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r for r in inverted_index(df, max_df=50, ngram=3).collect()}
+    assert out["quick brown fox"]["postings"] == "1,2"
+    assert out["quick brown fox"]["df"] == 2
+    assert out["the quick brown"]["postings"] == "1"
+    assert "hi" not in out
