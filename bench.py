@@ -83,6 +83,8 @@ HEADLINE = [
     "url1_canonicalize",
     "snap1_recrawl_latest",
     "chunk1_sliding_window",
+    "idx1_inverted_index",
+    "eval1_keep_drop_f1",
     "bpe1_merge_train",
     "bpe2_encode",
     "j5_lineage_fold",
