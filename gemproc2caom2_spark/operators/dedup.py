@@ -857,6 +857,12 @@ def mark_span_overlap(
     remove_boilerplate_lines above); the per-doc fold-back is a second
     groupBy on the doc id. No pair enumeration anywhere — a span
     shared by S documents costs S rows, never S^2.
+
+    The span explode is deliberately computed twice (once to build the
+    shared set, once on the probe side) instead of persisting it: the
+    exploded frame is corpus_tokens rows — a corpus-sized cache at
+    100 TB — while the recompute is one extra scan + hash pass, the
+    same two-scans-over-cache trade frequency_resample documents.
     """
     from gemproc2caom2_spark.functions.hashing import hex15_hash
 

@@ -145,7 +145,10 @@ def inverted_index(
     correctness-of-scale bound, not a tuning knob: hot tokens are
     excluded BEFORE any list state exists, so per-reducer state is
     bounded by max_df elements per token. Both shuffles hash on
-    token, so AQE plans the join from co-partitioned exchanges.
+    token, so AQE plans the join from co-partitioned exchanges. The
+    term explode runs twice (df phase + collect phase) by the same
+    two-scans-over-corpus-sized-cache trade mark_span_overlap and
+    frequency_resample document.
     """
     t = F.trim(F.lower(F.col(text_col)))
     base = df.where(F.col(text_col).isNotNull() & (t != ""))

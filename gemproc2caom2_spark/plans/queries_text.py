@@ -2749,7 +2749,13 @@ def eval1_keep_drop_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
-    labels = curate(d, dedup=False).select(
+    labels = curate(
+        d,
+        dedup=False,
+        # scrub does not influence keep/drop — skipping the byte-kernel
+        # stage makes the evaluation pass cheaper (task_types analog)
+        stages=("collapse", "extract", "langid", "heuristics", "perplexity"),
+    ).select(
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
         "keep",
     )
