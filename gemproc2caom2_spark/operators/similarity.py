@@ -608,3 +608,39 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def ann_recall(exact_topk: DataFrame, ann_topk: DataFrame) -> DataFrame:
+    """Recall@k of an approximate top-k against the exact top-k — the
+    ANN-quality acceptance gate (companion to the keep/drop F1 gate,
+    operators/classifier.confusion_f1): both evaluation operators turn
+    the engine's own acceptance criteria into queries it can run over
+    itself.
+
+    Inputs are two (query_id, vec_id, ...) top-k frames. Output: one
+    row per query — ``k`` (exact list size), ``n_hit`` (exact
+    neighbors the ANN list recovered), ``recall_r6``.
+
+    Scale shape: a key-keyed left join between two k-bounded frames
+    (rows = n_queries * k, never corpus-sized) + one small groupBy.
+    The expensive inputs stay whatever shape their producers chose;
+    this operator adds only bounded work.
+    """
+    hits = exact_topk.select("query_id", "vec_id").join(
+        ann_topk.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
+        on=["query_id", "vec_id"],
+        how="left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("k"), 6).alias("recall_r6"),
+        )
+    )

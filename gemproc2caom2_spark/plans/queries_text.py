@@ -2809,3 +2809,38 @@ def dd9_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     return mark_span_overlap(d, text_col="text", id_col="doc_id", k=8)
+
+
+def _eval2_oracle_sql() -> str:
+    """Recall@5 oracle composed from the ALREADY-REGISTERED sim1
+    (exact) and sim3 (IVF) oracle SQLs as derived tables — the
+    evaluation inherits whatever those queries' own parity checks
+    pin, so one definition serves both the operator and its gate."""
+    from gemproc2caom2_spark.plans.queries import oracles
+
+    exact_sql = oracles()["sim1_cosine_topk"]
+    ann_sql = oracles()["sim3_ivf_topk"]
+    return f"""
+    SELECT e.query_id, count(*)::BIGINT AS k,
+           sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS recall_r6
+    FROM ({exact_sql}) e
+    LEFT JOIN ({ann_sql}) a USING (query_id, vec_id)
+    GROUP BY e.query_id
+    """
+
+
+@register("eval2_ann_recall", _eval2_oracle_sql())
+def eval2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the IVF top-k (sim3) against the
+    brute-force exact top-k (sim1), per query point
+    (operators/similarity.py ann_recall — bounded join over two
+    k-row-per-query frames; the evaluation itself costs nothing at
+    scale)."""
+    from gemproc2caom2_spark.operators.similarity import ann_recall
+
+    return ann_recall(
+        sim1_cosine_topk(spark, sf_dir), sim3_ivf_topk(spark, sf_dir)
+    )

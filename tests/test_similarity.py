@@ -244,3 +244,21 @@ def test_ivf_cells_kernel_bit_identical_to_struct_sort(spark, emb):
         .count()
     )
     assert bad == 0
+
+
+def test_ann_recall_bounds_and_exact_match(spark):
+    from gemproc2caom2_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 12), (1, 20), (1, 21)],
+        ["query_id", "vec_id"],
+    )
+    # query 0: ann recovered 2 of 3; query 1: all; extra ann-only row
+    # must not inflate recall
+    ann = spark.createDataFrame(
+        [(0, 10), (0, 12), (0, 99), (1, 20), (1, 21)],
+        ["query_id", "vec_id"],
+    )
+    out = {r["query_id"]: r for r in ann_recall(exact, ann).collect()}
+    assert (out[0]["k"], out[0]["n_hit"], out[0]["recall_r6"]) == (3, 2, 0.666667)
+    assert (out[1]["k"], out[1]["n_hit"], out[1]["recall_r6"]) == (2, 2, 1.0)
