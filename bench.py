@@ -85,6 +85,7 @@ HEADLINE = [
     "chunk1_sliding_window",
     "idx1_inverted_index",
     "eval1_keep_drop_f1",
+    "eval2_ann_recall",
     "bpe1_merge_train",
     "bpe2_encode",
     "j5_lineage_fold",
