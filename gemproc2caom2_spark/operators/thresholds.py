@@ -30,7 +30,7 @@ Engine notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,3 +109,55 @@ def group_quantile_buckets(
         .when(score <= F.col("_b1"), F.lit(labels[1]))
         .otherwise(F.lit(labels[2])),
     ).drop("_b0", "_b1")
+
+
+def distribution_shift(
+    df: DataFrame,
+    bucket_col: str,
+    cohort_col: str,
+    base_cohort,
+    test_cohort,
+) -> DataFrame:
+    """Per-bucket distribution-drift terms between two cohorts of the
+    corpus — the population-stability monitor a continuously-ingesting
+    curation pipeline runs per crawl batch (is this week's crawl
+    length/quality distribution the one the thresholds were calibrated
+    on?). Reference analog: the cardinality/consistency guards that
+    compare observed metadata against expected shape (V10/V6,
+    /root/reference/gemProc2caom2/main_app.py:236-247).
+
+    Output: one row per bucket value present in either cohort —
+    ``n_base``/``n_test`` counts, ``p_r6``/``q_r6`` (cohort-relative
+    frequencies) and ``psi_term_r6`` = (p - q) * ln(p / q) with the
+    standard epsilon floor (1e-6) so empty cells stay finite. The
+    total PSI is the SUM of the terms; emitting per-bucket terms
+    instead of the folded scalar keeps every value a deterministic
+    per-row expression (no cross-row float accumulation whose ordering
+    an external verifier cannot replicate) and tells the operator
+    WHICH buckets drifted, which is what the alert needs anyway.
+
+    Scale shape: one map-side-combined groupBy over (bucket, cohort)
+    — the result is |buckets| rows, a broadcast-sized frame; totals
+    come from a window over that tiny frame, not a second corpus scan.
+    """
+    c = F.col(cohort_col)
+    counts = (
+        df.where(c.isin([base_cohort, test_cohort]))
+        .groupBy(bucket_col)
+        .agg(
+            F.sum((c == base_cohort).cast("long")).alias("n_base"),
+            F.sum((c == test_cohort).cast("long")).alias("n_test"),
+        )
+    )
+    tot = Window.partitionBy()
+    eps = 1e-6
+    p = F.greatest(F.col("n_base") / F.sum("n_base").over(tot), F.lit(eps))
+    q = F.greatest(F.col("n_test") / F.sum("n_test").over(tot), F.lit(eps))
+    return counts.select(
+        bucket_col,
+        "n_base",
+        "n_test",
+        F.round(p, 6).alias("p_r6"),
+        F.round(q, 6).alias("q_r6"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term_r6"),
+    )

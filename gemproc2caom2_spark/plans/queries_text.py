@@ -2844,3 +2844,43 @@ def eval2_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(
         sim1_cosine_topk(spark, sf_dir), sim3_ivf_topk(spark, sf_dir)
     )
+
+
+@register(
+    "drift1_distribution_shift",
+    """
+    WITH b AS (
+      SELECT doc_id % 2 AS cohort, n_chars // 100 AS bucket FROM documents),
+    c AS (
+      SELECT bucket,
+             sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::BIGINT AS n_base,
+             sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::BIGINT AS n_test
+      FROM b GROUP BY bucket),
+    t AS (SELECT *, sum(n_base) OVER () AS tb, sum(n_test) OVER () AS tt
+          FROM c)
+    SELECT bucket, n_base, n_test,
+           round(greatest(n_base / tb, 1e-6), 6) AS p_r6,
+           round(greatest(n_test / tt, 1e-6), 6) AS q_r6,
+           round((greatest(n_base / tb, 1e-6) - greatest(n_test / tt, 1e-6))
+                 * ln(greatest(n_base / tb, 1e-6)
+                      / greatest(n_test / tt, 1e-6)), 6) AS psi_term_r6
+    FROM t
+    """,
+)
+def drift1_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability monitor: per-bucket PSI terms of the
+    doc-length distribution between two corpus cohorts (even/odd doc
+    ids as the A/B stand-in for calibration-crawl vs current-crawl)
+    — operators/thresholds.py distribution_shift; one groupBy to a
+    broadcast-sized bucket frame, totals via window over that frame,
+    per-bucket terms so no cross-row float accumulation."""
+    from gemproc2caom2_spark.operators.thresholds import distribution_shift
+
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("doc_id % 2").alias("cohort"),
+        F.expr("n_chars DIV 100").alias("bucket"),
+    )
+    return distribution_shift(
+        d, bucket_col="bucket", cohort_col="cohort",
+        base_cohort=0, test_cohort=1,
+    )

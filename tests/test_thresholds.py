@@ -73,3 +73,35 @@ def test_approx_path_close_to_exact(spark, scored):
     # so the worst case is one inter-value gap (10 for the de series)
     for lang in exact:
         assert abs(approx[lang] - exact[lang]) <= 10.0
+
+
+def test_distribution_shift_psi_terms(spark):
+    from gemproc2caom2_spark.operators.thresholds import distribution_shift
+
+    # base: 8 docs in bucket 1, 2 in bucket 2; test: 5 and 5 => drift
+    rows = (
+        [("a", 1)] * 8 + [("a", 2)] * 2 + [("b", 1)] * 5 + [("b", 2)] * 5
+    )
+    df = spark.createDataFrame(rows, ["cohort", "bucket"])
+    out = {
+        r["bucket"]: r
+        for r in distribution_shift(
+            df, bucket_col="bucket", cohort_col="cohort",
+            base_cohort="a", test_cohort="b",
+        ).collect()
+    }
+    b1, b2 = out[1], out[2]
+    assert (b1["n_base"], b1["n_test"]) == (8, 5)
+    assert b1["p_r6"] == 0.8 and b1["q_r6"] == 0.5
+    # (0.8-0.5)*ln(0.8/0.5) = 0.141001 ; (0.2-0.5)*ln(0.2/0.5) = 0.274887
+    assert abs(b1["psi_term_r6"] - 0.141001) < 1e-6
+    assert abs(b2["psi_term_r6"] - 0.274887) < 1e-6
+    # identical cohorts => zero drift terms
+    same = distribution_shift(
+        spark.createDataFrame(
+            [("a", 1)] * 3 + [("b", 1)] * 3, ["cohort", "bucket"]
+        ),
+        bucket_col="bucket", cohort_col="cohort",
+        base_cohort="a", test_cohort="b",
+    ).collect()
+    assert all(r["psi_term_r6"] == 0.0 for r in same)
