@@ -86,6 +86,7 @@ HEADLINE = [
     "idx1_inverted_index",
     "eval1_keep_drop_f1",
     "eval2_ann_recall",
+    "drift1_distribution_shift",
     "bpe1_merge_train",
     "bpe2_encode",
     "j5_lineage_fold",
