@@ -1,0 +1,89 @@
+"""Backward as-of join — the point-in-time lookup Spark's DataFrame
+API lacks as a primitive (named exactly so in time-series engines;
+DuckDB ships it as ``ASOF JOIN``).
+
+For each probe row (key, probe_ts) find the most recent right-side row
+with the same key and ``event_ts <= probe_ts``. The curation analog of
+the reference's "state as of the last committed run" lookups
+(todo/checkpoint diffing, /root/reference/gemProc2caom2/
+composable.py:119-133): what was this url's/user's latest observation
+at time T?
+
+Implementation: NOT a range join (which Spark plans as a broadcast
+nested loop — quadratic per key) but the union-window form:
+
+1. union events (tagged 0) and probes (tagged 1) into one
+   (key, ts, tag) stream,
+2. one hash shuffle on key + per-key sort on (ts, tag),
+3. running ``last(value, ignorenulls=True)`` over the growing frame
+   (UNBOUNDED PRECEDING .. CURRENT ROW — an incremental running
+   aggregate, constant state per partition, no full-partition buffer),
+4. keep the probe rows: each now carries the latest event value at or
+   before its timestamp (tag order puts an exactly-coincident event
+   BEFORE the probe, giving inclusive <= semantics).
+
+Cost: ONE shuffle of |events| + |probes| thin rows — the same shape at
+any scale; skew follows the key distribution exactly like every other
+keyed window here (hot keys pre-split by the caller if needed).
+
+Tie caveat: two right-side rows with identical (key, event_ts) make
+"the most recent" ambiguous; pass a ``tiebreak_col`` (e.g. event id)
+to pin the winner deterministically — the same convention as
+latest_crawl_wins (operators/crawl.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    probes: DataFrame,
+    events: DataFrame,
+    key_col: str,
+    probe_ts_col: str,
+    event_ts_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Return one row per probe row: (key_col, probe_ts_col,
+    *value_cols) where the values come from the latest event at or
+    before the probe time (nulls when no prior event exists).
+    ``probes`` needs only (key_col, probe_ts_col); join any probe
+    payload back on that pair afterwards."""
+    order = [F.col("_ts").asc(), F.col("_tag").asc()]
+    ev = events.select(
+        F.col(key_col),
+        F.col(event_ts_col).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in value_cols],
+    )
+    if tiebreak_col is not None:
+        ev = ev.withColumn("_tb", F.col(tiebreak_col))
+        order.append(F.col("_tb").asc_nulls_first())
+    pr = probes.select(
+        F.col(key_col),
+        F.col(probe_ts_col).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    if tiebreak_col is not None:
+        pr = pr.withColumn("_tb", F.lit(None).cast(ev.schema["_tb"].dataType))
+    unioned = ev.unionByName(pr)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        key_col,
+        "_ts",
+        "_tag",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return filled.where(F.col("_tag") == 1).select(
+        key_col,
+        F.col("_ts").alias(probe_ts_col),
+        *value_cols,
+    )

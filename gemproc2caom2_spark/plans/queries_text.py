@@ -2884,3 +2884,49 @@ def drift1_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, bucket_col="bucket", cohort_col="cohort",
         base_cohort=0, test_cohort=1,
     )
+
+
+@register(
+    "asof1_point_in_time",
+    """
+    WITH probes AS (
+      SELECT user_id,
+             unnest([TIMESTAMP '2024-01-08 00:00:00',
+                     TIMESTAMP '2024-01-16 00:00:00',
+                     TIMESTAMP '2024-01-24 00:00:00']) AS probe_ts
+      FROM (SELECT DISTINCT user_id FROM events))
+    SELECT p.user_id, p.probe_ts, e.event_id, e.value
+    FROM probes p ASOF LEFT JOIN events e
+      ON p.user_id = e.user_id AND e.ts <= p.probe_ts
+    """,
+)
+def asof1_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each user's latest event at three probe
+    instants (operators/asof.py asof_join_backward — the union-window
+    form, ONE shuffle of thin rows, running last() with constant
+    window state; never a per-key range join). The oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN, so the semantics are pinned against an
+    independent first-class implementation."""
+    from gemproc2caom2_spark.operators.asof import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(t).cast("timestamp")
+                    for t in (
+                        "2024-01-08 00:00:00",
+                        "2024-01-16 00:00:00",
+                        "2024-01-24 00:00:00",
+                    )
+                ]
+            )
+        ).alias("probe_ts"),
+    )
+    return asof_join_backward(
+        probes, ev,
+        key_col="user_id", probe_ts_col="probe_ts", event_ts_col="ts",
+        value_cols=["event_id", "value"], tiebreak_col="event_id",
+    )

@@ -168,3 +168,41 @@ def test_inverted_index_trigram_phrases(spark):
     assert out["quick brown fox"]["df"] == 2
     assert out["the quick brown"]["postings"] == "1"
     assert "hi" not in out
+
+
+def test_asof_join_backward_semantics(spark):
+    import datetime as dt
+
+    from gemproc2caom2_spark.operators.asof import asof_join_backward
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    events = spark.createDataFrame(
+        [
+            (1, T("2024-01-01T10:00:00"), 100, 5.0),
+            (1, T("2024-01-01T12:00:00"), 101, 7.0),
+            # key 2: two events at the SAME instant -> tiebreak wins
+            (2, T("2024-01-01T10:00:00"), 200, 1.0),
+            (2, T("2024-01-01T10:00:00"), 201, 2.0),
+        ],
+        ["k", "ts", "event_id", "value"],
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, T("2024-01-01T09:00:00")),  # before any event -> nulls
+            (1, T("2024-01-01T11:00:00")),  # between -> event 100
+            (1, T("2024-01-01T12:00:00")),  # coincident -> INCLUSIVE
+            (2, T("2024-01-01T10:30:00")),  # tie -> higher event_id
+        ],
+        ["k", "probe_ts"],
+    )
+    out = {
+        (r["k"], r["probe_ts"].hour): r
+        for r in asof_join_backward(
+            probes, events, "k", "probe_ts", "ts",
+            ["event_id", "value"], tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[(1, 9)]["event_id"] is None and out[(1, 9)]["value"] is None
+    assert out[(1, 11)]["event_id"] == 100
+    assert out[(1, 12)]["event_id"] == 101  # <= is inclusive
+    assert out[(2, 10)]["event_id"] == 201  # deterministic tie winner
