@@ -87,3 +87,44 @@ def asof_join_backward(
         F.col("_ts").alias(probe_ts_col),
         *value_cols,
     )
+
+
+def range_join_time_buckets(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_ts_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Interval containment join (event_ts in [start, end)) in the
+    bucketized form — the second time-join primitive Spark lacks: a
+    naive ``events JOIN intervals ON ts >= start AND ts < end`` has no
+    equi-key, so Catalyst plans BroadcastNestedLoopJoin — |events| x
+    |intervals| comparisons, a cartesian at scale.
+
+    Form: each interval explodes to the hour buckets it covers, each
+    event maps to its hour bucket, and the join becomes a hash
+    equi-join on the bucket followed by the exact containment filter.
+    Cost: |intervals| x avg_hours_covered exploded rows (tiny for
+    bounded windows) + one hash join on a well-distributed time key —
+    survives 10^12 events x 10^5 windows where the nested loop dies.
+    Bucket granularity trades explode width against join selectivity;
+    hours fit maintenance/incident windows.
+
+    Returns the joined frame (all event + interval columns) for the
+    caller to aggregate.
+    """
+    b_start = F.date_trunc("hour", F.col(start_col))
+    b_end = F.date_trunc("hour", F.col(end_col))
+    iv = intervals.withColumn(
+        "_b", F.explode(F.sequence(b_start, b_end, F.expr("interval 1 hour")))
+    )
+    ev = events.withColumn("_b", F.date_trunc("hour", F.col(event_ts_col)))
+    return (
+        ev.join(iv, on="_b")
+        .where(
+            (F.col(event_ts_col) >= F.col(start_col))
+            & (F.col(event_ts_col) < F.col(end_col))
+        )
+        .drop("_b")
+    )

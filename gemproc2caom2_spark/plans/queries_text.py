@@ -2930,3 +2930,56 @@ def asof1_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id", probe_ts_col="probe_ts", event_ts_col="ts",
         value_cols=["event_id", "value"], tiebreak_col="event_id",
     )
+
+
+_RANGE1_INCIDENTS = [
+    ("inc1", "2024-01-03 07:30:00", "2024-01-03 11:00:00"),
+    ("inc2", "2024-01-09 13:45:00", "2024-01-09 16:05:00"),
+    ("inc3", "2024-01-15 00:00:00", "2024-01-16 00:00:00"),
+    ("inc4", "2024-01-21 22:10:00", "2024-01-22 03:40:00"),
+    ("inc5", "2024-01-28 05:00:00", "2024-01-28 05:30:00"),
+]
+
+_RANGE1_VALUES = ", ".join(
+    f"('{i}', TIMESTAMP '{s}', TIMESTAMP '{e}')"
+    for i, s, e in _RANGE1_INCIDENTS
+)
+
+
+@register(
+    "range1_interval_join",
+    f"""
+    WITH iv(incident_id, t_start, t_end) AS (VALUES {_RANGE1_VALUES})
+    SELECT iv.incident_id, count(*)::BIGINT AS n_events,
+           count(DISTINCT e.user_id)::BIGINT AS n_users,
+           round(sum(e.value), 4) AS sum_value_r4
+    FROM events e JOIN iv
+      ON e.ts >= iv.t_start AND e.ts < iv.t_end
+    GROUP BY iv.incident_id
+    """,
+)
+def range1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join: events falling inside arbitrary
+    (non-aligned) incident windows, aggregated per window — the range
+    join Spark would otherwise plan as BroadcastNestedLoopJoin,
+    rewritten as hour-bucket explode + hash equi-join + exact filter
+    (operators/asof.py range_join_time_buckets). The oracle uses the
+    plain inequality join (exact at oracle scale)."""
+    from gemproc2caom2_spark.operators.asof import range_join_time_buckets
+
+    ev = load(spark, sf_dir, "events")
+    iv = spark.createDataFrame(
+        _RANGE1_INCIDENTS, ["incident_id", "t_start", "t_end"]
+    ).select(
+        "incident_id",
+        F.col("t_start").cast("timestamp").alias("t_start"),
+        F.col("t_end").cast("timestamp").alias("t_end"),
+    )
+    joined = range_join_time_buckets(
+        ev, iv, event_ts_col="ts", start_col="t_start", end_col="t_end"
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value_r4"),
+    )

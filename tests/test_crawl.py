@@ -206,3 +206,32 @@ def test_asof_join_backward_semantics(spark):
     assert out[(1, 11)]["event_id"] == 100
     assert out[(1, 12)]["event_id"] == 101  # <= is inclusive
     assert out[(2, 10)]["event_id"] == 201  # deterministic tie winner
+
+
+def test_range_join_buckets_matches_naive(spark):
+    import datetime as dt
+
+    from gemproc2caom2_spark.operators.asof import range_join_time_buckets
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    events = spark.createDataFrame(
+        [
+            (1, T("2024-01-01T10:15:00")),
+            (2, T("2024-01-01T11:59:59")),
+            (3, T("2024-01-01T12:00:00")),  # == end: EXCLUSIVE
+            (4, T("2024-01-01T09:29:59")),  # just before start
+            (5, T("2024-01-01T09:30:00")),  # == start: INCLUSIVE
+        ],
+        ["event_id", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [("w1", T("2024-01-01T09:30:00"), T("2024-01-01T12:00:00"))],
+        ["incident_id", "t_start", "t_end"],
+    )
+    got = sorted(
+        r["event_id"]
+        for r in range_join_time_buckets(
+            events, iv, "ts", "t_start", "t_end"
+        ).collect()
+    )
+    assert got == [1, 2, 5]
