@@ -87,6 +87,8 @@ HEADLINE = [
     "eval1_keep_drop_f1",
     "eval2_ann_recall",
     "drift1_distribution_shift",
+    "asof1_point_in_time",
+    "range1_interval_join",
     "bpe1_merge_train",
     "bpe2_encode",
     "j5_lineage_fold",
