@@ -46,12 +46,20 @@ def asof_join_backward(
     event_ts_col: str,
     value_cols: list[str],
     tiebreak_col: str | None = None,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Return one row per probe row: (key_col, probe_ts_col,
     *value_cols) where the values come from the latest event at or
     before the probe time (nulls when no prior event exists).
     ``probes`` needs only (key_col, probe_ts_col); join any probe
-    payload back on that pair afterwards."""
+    payload back on that pair afterwards.
+
+    ``tolerance_seconds`` bounds staleness: a match older than the
+    tolerance is nulled out (kdb's ``wj`` window bound / pandas
+    ``merge_asof(tolerance=...)`` semantics) — "the latest reading,
+    but only if it is recent enough to still be meaningful". The
+    comparison runs on exact microsecond arithmetic so an external
+    INTERVAL-based verifier agrees at the boundary (<= inclusive)."""
     order = [F.col("_ts").asc(), F.col("_tag").asc()]
     ev = events.select(
         F.col(key_col),
@@ -76,13 +84,32 @@ def asof_join_backward(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        key_col,
-        "_ts",
-        "_tag",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-    )
-    return filled.where(F.col("_tag") == 1).select(
+    fill_cols = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    extra = []
+    if tolerance_seconds is not None:
+        extra = [
+            F.last(
+                F.when(F.col("_tag") == 0, F.col("_ts")), ignorenulls=True
+            ).over(w).alias("_matched_ts")
+        ]
+    filled = unioned.select(key_col, "_ts", "_tag", *fill_cols, *extra)
+    out = filled.where(F.col("_tag") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col("_ts"))
+            - F.unix_micros(F.col("_matched_ts"))
+        ) <= int(tolerance_seconds) * 1_000_000
+        out = out.select(
+            key_col,
+            "_ts",
+            "_tag",
+            *[
+                F.when(fresh, F.col(c)).alias(c) for c in value_cols
+            ],
+        )
+    return out.select(
         key_col,
         F.col("_ts").alias(probe_ts_col),
         *value_cols,

@@ -2983,3 +2983,54 @@ def range1_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("sum_value_r4"),
     )
+
+
+@register(
+    "asof2_bounded_staleness",
+    """
+    WITH probes AS (
+      SELECT user_id,
+             unnest([TIMESTAMP '2024-01-08 00:00:00',
+                     TIMESTAMP '2024-01-16 00:00:00',
+                     TIMESTAMP '2024-01-24 00:00:00']) AS probe_ts
+      FROM (SELECT DISTINCT user_id FROM events))
+    SELECT p.user_id, p.probe_ts,
+           CASE WHEN (p.probe_ts - e.ts) <= INTERVAL '12' HOUR
+                THEN e.event_id END AS event_id,
+           CASE WHEN (p.probe_ts - e.ts) <= INTERVAL '12' HOUR
+                THEN e.value END AS value
+    FROM probes p ASOF LEFT JOIN events e
+      ON p.user_id = e.user_id AND e.ts <= p.probe_ts
+    """,
+)
+def asof2_bounded_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: the latest event per probe,
+    nulled when older than 12 h (merge_asof tolerance semantics;
+    operators/asof.py asof_join_backward(tolerance_seconds=...) —
+    same single-shuffle union-window plan plus one running matched-ts
+    column; exact microsecond arithmetic matches the oracle's
+    INTERVAL comparison at the boundary)."""
+    from gemproc2caom2_spark.operators.asof import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(t).cast("timestamp")
+                    for t in (
+                        "2024-01-08 00:00:00",
+                        "2024-01-16 00:00:00",
+                        "2024-01-24 00:00:00",
+                    )
+                ]
+            )
+        ).alias("probe_ts"),
+    )
+    return asof_join_backward(
+        probes, ev,
+        key_col="user_id", probe_ts_col="probe_ts", event_ts_col="ts",
+        value_cols=["event_id", "value"], tiebreak_col="event_id",
+        tolerance_seconds=12 * 3600,
+    )

@@ -235,3 +235,34 @@ def test_range_join_buckets_matches_naive(spark):
         ).collect()
     )
     assert got == [1, 2, 5]
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from gemproc2caom2_spark.operators.asof import asof_join_backward
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    events = spark.createDataFrame(
+        [(1, T("2024-01-01T00:00:00"), 100, 5.0)],
+        ["k", "ts", "event_id", "value"],
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, T("2024-01-01T01:00:00")),  # 1h old: fresh
+            (1, T("2024-01-01T02:00:00")),  # exactly 2h: inclusive bound
+            (1, T("2024-01-01T02:00:01")),  # 1s past: stale -> null
+        ],
+        ["k", "probe_ts"],
+    )
+    out = {
+        r["probe_ts"].minute * 60 + r["probe_ts"].second + r["probe_ts"].hour * 3600:
+            r["event_id"]
+        for r in asof_join_backward(
+            probes, events, "k", "probe_ts", "ts",
+            ["event_id", "value"], tolerance_seconds=7200,
+        ).collect()
+    }
+    assert out[3600] == 100
+    assert out[7200] == 100
+    assert out[7201] is None
