@@ -88,6 +88,7 @@ HEADLINE = [
     "eval2_ann_recall",
     "drift1_distribution_shift",
     "asof1_point_in_time",
+    "asof2_bounded_staleness",
     "range1_interval_join",
     "bpe1_merge_train",
     "bpe2_encode",
