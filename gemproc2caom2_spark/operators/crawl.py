@@ -86,7 +86,12 @@ def canonicalize_url(
         return ~drop
 
     kept = F.array_sort(F.filter(params, _keep))
-    rebuilt = F.when(F.size(kept) == 0, path).otherwise(
+    # dropping the whole query can expose a trailing slash that
+    # url_normalize left alone (it was followed by '?'), e.g.
+    # '/Page/9/?gclid=x' -> '/Page/9/': re-strip so the result is a
+    # fixed point (idempotence pinned by the fuzz test)
+    bare_path = F.regexp_replace(path, r"(.)/$", r"$1")
+    rebuilt = F.when(F.size(kept) == 0, bare_path).otherwise(
         F.concat(path, F.lit("?"), F.array_join(kept, "&"))
     )
     return F.when(base.contains("?"), rebuilt).otherwise(base)
@@ -114,8 +119,9 @@ def canonicalize_url_sql(
         f"list_sort(list_filter(string_split({query}, '&'),"
         f" p -> NOT ({drop_pred})))"
     )
+    bare_path = f"regexp_replace({path}, '(.)/$', '\\1')"
     rebuilt = (
-        f"CASE WHEN len({kept}) = 0 THEN {path}"
+        f"CASE WHEN len({kept}) = 0 THEN {bare_path}"
         f" ELSE {path} || '?' || array_to_string({kept}, '&') END"
     )
     return (

@@ -266,3 +266,37 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert out[3600] == 100
     assert out[7200] == 100
     assert out[7201] is None
+
+
+def test_canonicalize_url_fuzz_invariants(spark):
+    import random
+
+    rng = random.Random(42)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://"]
+    hosts = ["Example.com", "WWW.Example.com", "sub.Site.ORG", "a.b.c.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/Page/9/", "/x%20y"]
+    params = ["a=1", "b=2", "utm_source=x", "gclid=zz", "ref", "z=9&y=8"]
+    frags = ["", "#f", "#Sec-2"]
+    urls = []
+    for _ in range(200):
+        q = ""
+        if rng.random() < 0.7:
+            chosen = rng.sample(params, rng.randint(1, 4))
+            q = "?" + "&".join(chosen)
+        urls.append(
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + q + rng.choice(frags)
+        )
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    assert once == twice  # idempotent over the whole fuzz corpus
+    for c in once:
+        assert "#" not in c
+        assert "utm_" not in c and "gclid" not in c
+        scheme_host = c.split("://")[0] + "://" + c.split("://")[1].split("/")[0]
+        assert scheme_host == scheme_host.lower()
+        assert "://www." not in c
+        if "?" in c:
+            ps = c.split("?", 1)[1].split("&")
+            assert ps == sorted(ps) and all(ps)
