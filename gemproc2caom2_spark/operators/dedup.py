@@ -325,7 +325,6 @@ def _fold_bucket_duplicates(
     check. Keys left with no verified candidate resolve to non-dup via
     the final left join.
     """
-    other_cols = [c for c in df.columns]
     bucket_mins = exploded.groupBy("_band", "_bucket").agg(
         F.min(key_col).alias("_bucket_min")
     )
@@ -334,6 +333,34 @@ def _fold_bucket_duplicates(
     )
     if pair_filter is not None:
         candidates = pair_filter(candidates.distinct())
+    return _fold_candidates(
+        df,
+        candidates,
+        key_col=key_col,
+        out_col=out_col,
+        canonical_col=canonical_col,
+        canonical_attrs=canonical_attrs,
+        resolve_hops=resolve_hops,
+    )
+
+
+def _fold_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    out_col: str,
+    canonical_col: str | None,
+    canonical_attrs: DataFrame | None,
+    resolve_hops: int | str,
+) -> DataFrame:
+    """Tail of the band-bucket fold, shared by every marker: fold the
+    verified (key, _bucket_min) candidate frame to one canonical per
+    key, run the pointer-jump chain resolution, and join the thin flags
+    frame back onto ``df``. Factored out so markers that generate (and
+    verify) candidates inside a bucket-group kernel — the semantic
+    marker's per-bucket cosine verify — can reuse the exact fold
+    semantics without re-deriving bucket minima relationally."""
+    other_cols = [c for c in df.columns]
     dup_flags = candidates.groupBy(key_col).agg(
         F.min("_bucket_min").alias("_canon_key")
     )
@@ -461,9 +488,7 @@ def mark_semantic_duplicates(
     from gemproc2caom2_spark.operators.similarity import (
         _infer_dim,
         np_bucket_udf,
-        np_int_cosine_udf,
         np_seq_bucket_udf,
-        np_seq_cosine_udf,
     )
 
     if dim is None:
@@ -471,40 +496,74 @@ def mark_semantic_duplicates(
     bucket_udf = (np_bucket_udf if int_exact else np_seq_bucket_udf)(
         bits, tables, dim
     )
-    cos_udf = (np_int_cosine_udf if int_exact else np_seq_cosine_udf)()
-    # the per-table <<60 offset already makes bucket ids disjoint
-    # across tables, so a constant band satisfies the fold's key
+    # Round-6 shape: candidates are generated AND cosine-verified inside
+    # one bucket-group kernel (groupBy(bucket).applyInPandas). The
+    # previous plan derived bucket minima relationally, DISTINCTed the
+    # (key, min) candidates, then joined the vector column back TWICE to
+    # feed a scalar cosine UDF — at sf1.0 that was 220 Exchanges (the
+    # text->embedding chain replayed per join branch) for work that is
+    # one pass per bucket: each group already holds every member's
+    # vector AND the bucket min. Vectors cross one shuffle, once per
+    # table; the kernel emits only (key, bucket_min) rows whose raw
+    # cosine clears threshold - 1e-6 (a safe superset of the rounded
+    # compare: rounding lifts a value by at most 5e-7), and the exact
+    # round(c, 6) >= threshold filter runs on that thin survivor frame.
+    cut = threshold - 1e-6
+
+    def verify_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["_v"].notna()]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "_bucket_min": pd.Series([], dtype="int64"),
+                    "_cos": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        mi = int(np.argmin(ids))
+        vmin = m[mi]
+        if int_exact:
+            dots = m @ vmin
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            nmin = np.sqrt(float(vmin @ vmin))
+        else:
+            dots = np.cumsum(m * vmin[None, :], axis=1)[:, -1]
+            norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+            nmin = norms[mi]
+        denom = norms * nmin
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = dots / denom
+        with np.errstate(invalid="ignore"):
+            keep = c >= cut
+        return pd.DataFrame(
+            {
+                key_col: ids[keep],
+                "_bucket_min": np.full(int(keep.sum()), ids[mi], dtype=np.int64),
+                "_cos": c[keep],
+            }
+        )
+
     exploded = corpus.select(
-        key_col,
-        F.lit(0).alias("_band"),
+        F.col(key_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
         F.explode(bucket_udf(F.col(bucket_vec_col or vec_col))).alias("_bucket"),
     )
-    vecs = corpus.select(key_col, vec_col)
-
-    def pair_filter(cand: DataFrame) -> DataFrame:
-        a = vecs.select(F.col(key_col), F.col(vec_col).alias("_va"))
-        m = vecs.select(
-            F.col(key_col).alias("_bucket_min"), F.col(vec_col).alias("_vm")
-        )
-        return (
-            cand.join(a, on=key_col)
-            .join(m, on="_bucket_min")
-            .where(
-                F.round(cos_udf(F.col("_va"), F.col("_vm")), 6)
-                >= threshold
-            )
-            .select(key_col, "_bucket_min")
-        )
-
-    return _fold_bucket_duplicates(
+    verified = (
+        exploded.groupBy("_bucket")
+        .applyInPandas(verify_fn, f"{key_col} long, _bucket_min long, _cos double")
+        .where(F.round(F.col("_cos"), 6) >= threshold)
+        .select(key_col, "_bucket_min")
+    )
+    return _fold_candidates(
         corpus.select(key_col),
-        exploded,
+        verified,
         key_col=key_col,
         out_col=out_col,
         canonical_col=canonical_col,
         canonical_attrs=None,
         resolve_hops=resolve_hops,
-        pair_filter=pair_filter,
     )
 
 
@@ -517,27 +576,47 @@ def make_simhash_udf(bits: int = 60):
     """numpy simhash over pre-hashed word arrays (array<bigint> in,
     bigint out). Bit b of the result = 1 iff the sum of ±1 votes from
     each word's bit b is >= 0. 60 bits so the value is reproducible from
-    hex15 hashes in external SQL."""
+    hex15 hashes in external SQL.
+
+    Batch-vectorized (round 6): the whole Arrow batch's hash arrays are
+    flattened once and per-document vote sums come from
+    ``np.add.reduceat`` over segment offsets — the r5 form ran a Python
+    loop per ROW with a 60-iteration bit loop per row (guide §4.2).
+    Votes are exact small integers (±1 per word, sum = 2*ones - n), so
+    the sign — and therefore every signature bit — is unchanged."""
     nbits = bits
 
     @F.pandas_udf(LongType())
     def _simhash(hashes: pd.Series) -> pd.Series:
-        out = np.full(len(hashes), np.nan, dtype="object")
-        for i, arr in enumerate(hashes):
-            if arr is None or len(arr) == 0:
-                out[i] = None
-                continue
-            h = np.asarray(arr, dtype=np.uint64)
-            bitmat = (h[:, None] >> np.arange(nbits, dtype=np.uint64)[None, :]) & np.uint64(1)
-            votes = np.where(bitmat == 1, 1, -1).sum(axis=0)
-            val = np.uint64(0)
+        out: list = [None] * len(hashes)
+        idx = [i for i, arr in enumerate(hashes)
+               if arr is not None and len(arr) > 0]
+        if idx:
+            parts = [np.asarray(hashes.iloc[i], dtype=np.uint64) for i in idx]
+            lens = np.array([len(x) for x in parts], dtype=np.int64)
+            flat = np.concatenate(parts)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            votes_nonneg = np.empty((len(parts), nbits), dtype=bool)
             for b in range(nbits):
-                if votes[b] >= 0:
-                    val |= np.uint64(1) << np.uint64(b)
-            out[i] = int(val)
+                ones = np.add.reduceat(
+                    ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                    offs,
+                )
+                votes_nonneg[:, b] = 2 * ones - lens >= 0
+            vals = (
+                votes_nonneg.astype(np.uint64)
+                * (np.uint64(1) << np.arange(nbits, dtype=np.uint64))[None, :]
+            ).sum(axis=1)
+            for pos, v in zip(idx, vals):
+                out[pos] = int(v)
         return pd.Series(out, dtype="object")
 
-    return _simhash
+    # expensive UDF whose output callers FILTER on (simhash is not
+    # null): without this, the pushed-down filter duplicates the
+    # evaluation — one ArrowEvalPython below the filter and one above
+    # (guide §4.4) — and can sink the whole words->hex15->simhash chain
+    # below a parallelizing repartition into the single-split scan task
+    return _simhash.asNondeterministic()
 
 
 def word_hex15_hashes_expr(text: Column | str) -> Column:

@@ -444,6 +444,93 @@ def load_ivf_model(spark, path: str) -> dict[int, list[float]]:
     return {int(r.cid): [float(x) for x in r.cvec] for r in rows}
 
 
+def _bucket_pair_kernel(threshold: float, dim: int, int_exact: bool):
+    """Per-bucket all-pairs cosine kernel for ``embedding_near_dup_pairs``
+    (groupBy(bucket).applyInPandas): inside one bucket group, score every
+    id1 < id2 pair and emit only rows with raw cosine >= threshold - 1e-6
+    — a safe superset of round(c, 6) >= threshold (rounding can lift a
+    value by at most 5e-7), so the exact rounded filter applied by the
+    caller selects the identical final set.
+
+    Why a group kernel instead of pair rows: candidate PAIRS are
+    quadratic in bucket occupancy (template corpora: 2.67M pairs at
+    sf0.1, ~100x that at 10x the docs), and the previous plan
+    materialized every pair through a distinct exchange plus TWO
+    vector joins — ~1 KB of vectors crossing the Arrow boundary per
+    pair. Here each vector crosses the shuffle once per table
+    (|C| * tables rows, linear), pairs exist only inside numpy, and
+    only threshold survivors are ever emitted as rows.
+
+    Bit-exactness: the int path scores with one float64 matmul —
+    integer-valued products/sums below 2^53 are exact under ANY
+    summation order (np_bucket_udf's argument), so values equal
+    np_int_cosine_udf's einsum bit-for-bit. The float path reproduces
+    the sequential Column-fold order via cumsum (np_seq_cosine_udf /
+    ``_seq_dot``): blocked (rows x chunk x dim) products, prefix-scan
+    along dim — identical IEEE op sequence per pair. Norms: einsum
+    (int) / cumsum (float), matching the respective scalar kernels.
+    Zero-norm vectors divide to nan, which fails the >= cut compare —
+    same null semantics as the scalar kernels' guarded divisions.
+    """
+    cut = threshold - 1e-6
+    empty = {
+        "id1": pd.Series([], dtype="int64"),
+        "id2": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["_v"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.asarray(pdf["_v"].to_numpy()[order].tolist(), dtype=np.float64)
+        if int_exact:
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        else:
+            norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        out1: list[np.ndarray] = []
+        out2: list[np.ndarray] = []
+        outc: list[np.ndarray] = []
+        col_idx = np.arange(n)
+        ba = 512 if int_exact else 32
+        bm = max(1, 4_000_000 // (ba * dim))
+        for s in range(0, n, ba):
+            blk = m[s : s + ba]
+            b = len(blk)
+            if int_exact:
+                dots = blk @ m.T
+            else:
+                dots = np.empty((b, n))
+                for t in range(0, n, bm):
+                    chunk = m[t : t + bm]
+                    prods = blk[:, None, :] * chunk[None, :, :]
+                    dots[:, t : t + len(chunk)] = np.cumsum(prods, axis=2)[:, :, -1]
+            denom = norms[s : s + b, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dots / denom
+            rows = np.arange(s, s + b)
+            mask = col_idx[None, :] > rows[:, None]
+            with np.errstate(invalid="ignore"):
+                mask &= c >= cut
+            ii, jj = np.nonzero(mask)
+            out1.append(ids[rows[ii]])
+            out2.append(ids[jj])
+            outc.append(c[ii, jj])
+        return pd.DataFrame(
+            {
+                "id1": np.concatenate(out1) if out1 else np.array([], dtype=np.int64),
+                "id2": np.concatenate(out2) if out2 else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(outc) if outc else np.array([]),
+            }
+        )
+
+    return fn
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -478,71 +565,45 @@ def embedding_near_dup_pairs(
     raise ``bits`` as the corpus grows to keep buckets small; recall per
     true pair is 1-(1-(1-θ/π)^bits)^tables. Returns (id1, id2, cosine).
 
-    ``int_exact=True`` switches bucketing AND scoring to vectorized
-    Arrow/numpy kernels — ONLY valid for integer-valued vectors (TF
-    counts, centered N*v - S), where integer arithmetic below 2^53 is
-    exact in float64 under any summation order, so results stay
+    ``int_exact=True`` switches bucketing AND scoring to the
+    integer-exact numpy kernels — ONLY valid for integer-valued vectors
+    (TF counts, centered N*v - S), where integer arithmetic below 2^53
+    is exact in float64 under any summation order, so results stay
     bit-identical to the Column folds and to SQL oracles (see
-    np_bucket_udf). On template-clustered web text the candidate pool
-    is dominated by genuinely-similar pairs, so scoring cost is
-    irreducible by more bits — making the kernel fast is the lever:
-    emb2 at sf0.1 measured 91 s (interpreted folds) -> 14 s."""
+    np_bucket_udf); the float path keeps the sequential-order kernels.
+
+    Execution (round-6 shape): candidates are scored INSIDE each bucket
+    group by one vectorized kernel (``_bucket_pair_kernel`` via
+    groupBy(bucket).applyInPandas) instead of materializing pair rows.
+    The previous plan exploded (id, bucket), self-joined, DISTINCTed the
+    pair list — quadratic in bucket occupancy — then joined the vectors
+    back onto every pair (~1 KB of arrays through Arrow per pair): at
+    sf1.0 that was ~100M+ pair rows and 166 s, 46 Exchanges, 3
+    SortMergeJoins. Now each vector crosses exactly one shuffle, once
+    per table (|C| * tables rows); pairs exist only transiently inside
+    numpy; only rows at the threshold ever leave the kernel. The same
+    pair found in several tables is collapsed by the final distinct
+    (identical cosine bits, so distinct on the triple is exact)."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
 
-    if int_exact:
-        bucket_arr = np_bucket_udf(bits, tables, dim)(
-            F.col(bucket_vec_col or vec_col)
-        )
-    else:
-        # float vectors: the sequential-order Arrow kernel (bit-identical
-        # to the hyperplane_bucket_expr fold; see np_seq_bucket_udf)
-        bucket_arr = np_seq_bucket_udf(bits, tables, dim)(
-            F.col(bucket_vec_col or vec_col)
-        )
-
-    cb = corpus.select(F.col(id_col), F.explode(bucket_arr).alias("_bucket"))
-    cand = (
-        cb.select(F.col(id_col).alias("id1"), "_bucket")
-        .join(cb.select(F.col(id_col).alias("id2"), "_bucket"), on="_bucket")
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+    bucket_arr = (np_bucket_udf if int_exact else np_seq_bucket_udf)(
+        bits, tables, dim
+    )(F.col(bucket_vec_col or vec_col))
+    exploded = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(bucket_arr).alias("_bucket"),
     )
-    if int_exact:
-        e1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-        e2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
-        scored = (
-            cand.join(e1, on="id1")
-            .join(e2, on="id2")
-            .select(
-                "id1",
-                "id2",
-                F.round(
-                    np_int_cosine_udf()(F.col("_v1"), F.col("_v2")), 6
-                ).alias("cosine"),
-            )
-        )
-        return scored.where(F.col("cosine") >= threshold)
-    # float path: one Arrow kernel call per pair batch — np_seq_cosine_udf
-    # reproduces dot_expr / (norm_expr * norm_expr) bit-for-bit (sequential
-    # cumsum accumulation), so values and the threshold cut are identical
-    # to the interpreted folds this replaced (which measured ~6.7 s warm
-    # for dd5's ~250k pairs; the kernel is sub-second)
-    e1 = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-    e2 = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
-    scored = (
-        cand.join(e1, on="id1")
-        .join(e2, on="id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(
-                np_seq_cosine_udf()(F.col("_v1"), F.col("_v2")), 6
-            ).alias("cosine"),
-        )
+    pairs = exploded.groupBy("_bucket").applyInPandas(
+        _bucket_pair_kernel(threshold, dim, int_exact),
+        "id1 long, id2 long, cosine double",
     )
-    return scored.where(F.col("cosine") >= threshold)
+    return (
+        pairs.distinct()
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def lsh_ann_topk(

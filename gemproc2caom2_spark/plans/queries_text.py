@@ -125,30 +125,60 @@ _MINS, _SH = _minhash16_sql_expr()
     """,
 )
 def dd2_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 perms, 2-word shingles) computed entirely
-    with built-in higher-order functions on the cross-engine hex15 hash
-    — the oracle-checkable twin of the xxhash64/numpy scale path used by
-    the pipeline (operators/dedup.py)."""
+    """MinHash signatures (16 perms, 2-word shingles) over the
+    cross-engine hex15 hash — the oracle-checkable twin of the
+    xxhash64/numpy scale path used by the pipeline (operators/dedup.py).
+
+    Shingling + hex15 hashing stay JVM-side (codegen'd md5/conv); the
+    16 permutation passes move to one vectorized Arrow kernel — the r5
+    Column form ran 16 INTERPRETED transform+array_min passes over every
+    hash array (~120M lambda evaluations at sf1.0; guide §4.2).
+
+    The empty-shingle filter runs on the KERNEL's null output (empty or
+    null hash array -> null csv), with the UDF marked non-deterministic:
+    the r5 ``where(size(hs) > 0)`` predicate was pushed below the spread
+    repartition, so the whole shingle+md5 chain evaluated INSIDE the
+    single-split scan task — serially — and then again in the post-
+    shuffle project (measured: the filter alone turned a 0.7 s map
+    stage into 8 s; guide §4.4's duplicated-evaluation trap, on a
+    filter pushed below the parallelizing exchange).
+
+    Bit-exactness: all operands are positive int64 (hex15 < 2^60 < M61;
+    h%M31 * a < 2^62, + b < 2^63), so numpy's % equals Spark's % and the
+    mins are integer-identical; str(int64) equals the bigint->string
+    cast; null-for-empty equals the old size filter exactly
+    (size(null) is null, never > 0)."""
+    import numpy as _np
+    import pandas as _pd
+
     d = load(spark, sf_dir, "documents", spread=True)
     shingles = TX.word_shingles(F.lower(F.col("text")), k=2)
     hashes = F.transform(F.array_distinct(shingles), hex15_hash)
 
-    def perm(i: int):
-        a, b = _perm_ab(i)
-        return F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: (h % MERSENNE_61 % _M31 * a + b) % MERSENNE_61,
-            )
-        ).cast("string")
+    a = _np.array([_perm_ab(i)[0] for i in range(16)], dtype=_np.int64)
+    b = _np.array([_perm_ab(i)[1] for i in range(16)], dtype=_np.int64)
+    p = _np.int64(MERSENNE_61)
+    m31 = _np.int64(_M31)
+
+    # no type hints: under `from __future__ import annotations` they
+    # become strings pyspark's hint parser can't resolve against this
+    # closure; hint-less defaults to the scalar pandas UDF, same thing
+    def _minhash_csv_fn(hs):
+        out = []
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            h = _np.asarray(arr, dtype=_np.int64) % p % m31
+            mins = ((h[:, None] * a[None, :] + b[None, :]) % p).min(axis=0)
+            out.append(",".join(str(int(x)) for x in mins))
+        return _pd.Series(out, dtype="object")
+
+    _minhash_csv = F.pandas_udf(_minhash_csv_fn, "string").asNondeterministic()
 
     return (
-        d.select("doc_id", hashes.alias("hs"))
-        .where(F.size("hs") > 0)
-        .select(
-            "doc_id",
-            F.concat_ws(",", *[perm(i) for i in range(16)]).alias("minhash_csv"),
-        )
+        d.select("doc_id", _minhash_csv(hashes).alias("minhash_csv"))
+        .where(F.col("minhash_csv").isNotNull())
     )
 
 
@@ -297,9 +327,14 @@ def dd7_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents", spread=True)
+    # thin (doc_id, simhash) barrier: the marker references the sigs
+    # frame from four plan branches (band explode, both Hamming-verify
+    # sides, final flags join); without it the words->hex15->simhash
+    # UDF chain replays per branch (r5 plan: 94 Exchanges)
     sigs = with_simhash(
         d.select("doc_id", "text"), text_col="text", out_col="simhash"
-    ).where(F.col("simhash").isNotNull()).select("doc_id", "simhash")
+    ).where(F.col("simhash").isNotNull()).select("doc_id", "simhash") \
+        .localCheckpoint(eager=True)
     return mark_simhash_duplicates(
         sigs,
         key_col="doc_id",
@@ -345,9 +380,11 @@ def dd8_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents", spread=True)
+    # same thin sigs barrier as dd7 (the marker is a multi-branch plan)
     sigs = with_simhash(
         d.select("doc_id", "text"), text_col="text", out_col="simhash"
-    ).where(F.col("simhash").isNotNull()).select("doc_id", "simhash")
+    ).where(F.col("simhash").isNotNull()).select("doc_id", "simhash") \
+        .localCheckpoint(eager=True)
     marked = mark_simhash_duplicates(
         sigs,
         key_col="doc_id",
@@ -799,13 +836,20 @@ def emb2_semantic_near_dup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     d = d.where(F.trim(F.col("text")) != "")
-    emb = with_text_embedding(d, dim=_EMB_DIM, use_udf=True).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    # The thin (vec_id, embedding) frame is referenced twice by the
+    # centering stats aggregate and once by the bucket/score stage; an
+    # eager localCheckpoint computes the text->embedding Arrow chain
+    # exactly once (8*dim bytes/doc — model-thin, never the fat text).
+    emb = (
+        with_text_embedding(d, dim=_EMB_DIM, use_udf=True)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
     )
     emb = with_centered_vector(emb, dim=_EMB_DIM)
     # int_exact: TF and centered vectors are integer-valued, so the
     # vectorized Arrow kernels are bit-identical to the Column folds
-    # (91 s -> 14 s at sf0.1; see embedding_near_dup_pairs docstring)
+    # (see embedding_near_dup_pairs: pairs are scored per bucket group,
+    # never materialized as rows)
     return embedding_near_dup_pairs(
         emb, threshold=0.95, bits=6, tables=8, dim=_EMB_DIM,
         bucket_vec_col="cvec", int_exact=True,
@@ -886,8 +930,14 @@ def emb3_semantic_dedup_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", spread=True)
     d = d.where(F.trim(F.col("text")) != "")
-    emb = with_text_embedding(d, dim=_EMB_DIM, use_udf=True).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    # thin (vec_id, embedding) checkpoint: the frame feeds the centering
+    # stats (2 refs), the bucket/verify kernel and the final flags join —
+    # without the barrier the text->embedding Arrow chain replays per
+    # branch (measured: 220 Exchanges in the r5 plan)
+    emb = (
+        with_text_embedding(d, dim=_EMB_DIM, use_udf=True)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
     )
     emb = with_centered_vector(emb, dim=_EMB_DIM)
     return mark_semantic_duplicates(
