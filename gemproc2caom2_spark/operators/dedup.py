@@ -781,10 +781,13 @@ def ngram_jaccard_pairs(
     hashes = F.array_distinct(
         F.transform(F.array_distinct(word_shingles(text_col, k)), lambda s: F.xxhash64(s))
     )
-    exploded = (
-        df.select(F.col(key_col).alias("_k"), hashes.alias("_hs"))
-        .where(F.size("_hs") > 0)
-        .select("_k", F.size("_hs").alias("_n"), F.explode("_hs").alias("_h"))
+    # no size()>0 pre-filter: explode already emits nothing for empty or
+    # null arrays, and the deterministic predicate was PUSHED below the
+    # caller's parallelizing repartition — the whole shingle+xxhash chain
+    # evaluated serially inside the single-split scan task (the dd2
+    # filter-pushdown trap; measured as the query's dominant cost)
+    exploded = df.select(F.col(key_col).alias("_k"), hashes.alias("_hs")).select(
+        "_k", F.size("_hs").alias("_n"), F.explode("_hs").alias("_h")
     )
     buckets = (
         exploded.groupBy("_h")

@@ -176,6 +176,80 @@ def repetition_struct(
     return F.struct(*fields)
 
 
+def make_repetition_udf(ns: tuple[int, ...] = (2, 3, 4), cap: int = ANALYSIS_CAP):
+    """Arrow twin of ``repetition_struct``'s metric core: one pandas UDF
+    emitting, per n in ``ns``, the n-gram total and the RAW duplicate
+    fraction (1.0 - distinct/total as float64 — rounding and the
+    threshold flags stay in Spark so round() semantics are exactly
+    F.round's). The r5 Column form ran three interpreted
+    zip_with/array_distinct higher-order passes per doc (~15M lambda
+    evaluations at sf1.0 — the whole query's cost; guide §4.2).
+
+    Tokenization replicates the Column chain exactly on this corpus's
+    ASCII text: substring(cap) -> trim (spaces only, both ends) ->
+    split on Java \\s+ = [ \\t\\n\\x0b\\f\\r]+ (leading/trailing empty
+    tokens kept, as Spark's split(limit=-1) keeps them) -> lower per
+    word; n-grams join k words with one space. 1.0 - d/t is the same
+    single IEEE divide + subtract as the Column form. Equality against
+    the Column expression is pinned by tests/test_functions.py."""
+    import re
+
+    splitter = re.compile(r"[ \t\n\x0b\f\r]+")
+    fields = []
+    for k in ns:
+        fields.append(f"n_{k}grams long")
+        fields.append(f"raw_{k} double")
+    schema = "struct<" + ", ".join(fields) + ">"
+
+    def _metrics(texts):
+        import pandas as pandas_mod
+
+        rows = []
+        for t in texts:
+            if t is None:
+                ws: list[str] = []
+            else:
+                s = t[:cap].strip(" ")
+                ws = [w.lower() for w in splitter.split(s)] if s else []
+            n = len(ws)
+            rec = {}
+            for k in ns:
+                tot = n - (k - 1) if n >= k else 0
+                if tot > 0:
+                    grams = {" ".join(ws[i : i + k]) for i in range(tot)}
+                    rec[f"raw_{k}"] = 1.0 - len(grams) / tot
+                else:
+                    rec[f"raw_{k}"] = None
+                rec[f"n_{k}grams"] = tot
+            rows.append(rec)
+        return pandas_mod.DataFrame(rows)
+
+    return F.pandas_udf(_metrics, schema)
+
+
+def repetition_struct_arrow(
+    text: Column | str, ns: tuple[int, ...] = (2, 3, 4), cap: int = ANALYSIS_CAP
+) -> Column:
+    """``repetition_struct`` evaluated through the Arrow kernel: same
+    output struct (totals, 6-dp-rounded duplicate fractions, combined
+    is_repetitive flag at REPETITION_THRESHOLDS), with only the raw
+    metric math in Python — rounds/compares stay Column expressions so
+    engine rounding semantics are untouched."""
+    t = F.col(text) if isinstance(text, str) else text
+    m = make_repetition_udf(ns, cap)(t)
+    fields: list[Column] = []
+    rep = F.lit(False)
+    for k in ns:
+        frac = F.round(m[f"raw_{k}"], 6)
+        fields.append(m[f"n_{k}grams"].alias(f"n_{k}grams"))
+        fields.append(frac.alias(f"dup_{k}gram_frac"))
+        rep = rep | F.coalesce(
+            frac > F.lit(REPETITION_THRESHOLDS[k]), F.lit(False)
+        )
+    fields.append(rep.alias("is_repetitive"))
+    return F.struct(*fields)
+
+
 def placeholder_flag(text: Column | str, rules: RuleConfig = DEFAULT_RULES) -> Column:
     """Sentinel/garbage detection (the delta==1.0 analog): true when the
     doc is dominated by a known placeholder marker. Scans only the

@@ -2019,13 +2019,17 @@ def _tx10_oracle_sql() -> str:
 def tx10_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition metrics (Gopher duplicate-n-gram family):
     per doc, 2/3/4-gram totals, duplicate fractions, and the combined
-    is_repetitive flag — operators/heuristics.repetition_struct, pure
-    Column exprs over the ANALYSIS_CAP prefix, no shuffle at all (a
-    map-only stage like tx2)."""
-    from gemproc2caom2_spark.operators.heuristics import repetition_struct
+    is_repetitive flag over the ANALYSIS_CAP prefix — still a map-only
+    stage (no shuffle), but the metric core runs as ONE Arrow kernel
+    (heuristics.repetition_struct_arrow): the Column form's three
+    interpreted zip_with/array_distinct passes were ~15M lambda
+    evaluations at sf1.0 and the query's entire cost. Rounding and the
+    threshold flags remain Column exprs; kernel-vs-Column equality is
+    pinned by tests/test_functions.py."""
+    from gemproc2caom2_spark.operators.heuristics import repetition_struct_arrow
 
     d = load(spark, sf_dir, "documents", spread=True)
-    return d.select("doc_id", repetition_struct("text").alias("r")).select(
+    return d.select("doc_id", repetition_struct_arrow("text").alias("r")).select(
         "doc_id", "r.*"
     )
 
@@ -2565,10 +2569,13 @@ def url1_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization + www-fold + tracking-param strip + query-param sort
     (operators/crawl.py canonicalize_url). The reference's entry-name
     repair (builder.py:149-153) as the key-making step of URL dedup.
-    Pure codegen'd Column chain — zero shuffles, zero Python."""
+    Pure codegen'd Column chain — zero shuffles beyond the spread, zero
+    Python. spread=True matters here: the plan is map-only, so without
+    it the whole regex chain ran inside the single-split scan task
+    (serial; measured 3.8 s -> sub-second at sf1.0)."""
     from gemproc2caom2_spark.operators.crawl import canonicalize_url
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", spread=True)
     did = F.col("doc_id")
     raw = F.concat(
         F.when(did % 3 == 0, "HTTP://WWW.")
@@ -2810,8 +2817,12 @@ def eval1_keep_drop_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
     )
     w = spark.read.parquet(_QLR_FIXTURE).first().asDict()
+    # spread the prediction scan: its quality_struct regex kernels are
+    # map-side work ahead of the join shuffle, and the bare single-split
+    # scan would run them serially (the url1 trap)
     preds = (
-        d0.where(F.col("text").isNotNull() & (F.length("text") > 0))
+        load(spark, sf_dir, "documents", spread=True)
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
         .select(
             "doc_id",
             (quality_logit_expr(quality_struct("text"), w) > 0).alias("mk"),

@@ -150,6 +150,46 @@ def test_repetition_struct_semantics(spark):
     assert out[5].dup_2gram_frac > 0.5 and out[5].is_repetitive is True
 
 
+def test_repetition_arrow_matches_column(spark):
+    """The Arrow repetition kernel (tx10's scale path) must equal the
+    Column-expression form field-for-field — including whitespace /
+    empty-token edge cases of Spark's trim+split semantics — on edge
+    rows and a generated corpus."""
+    from pyspark.sql import functions as F
+
+    from gemproc2caom2_spark.operators.heuristics import (
+        repetition_struct,
+        repetition_struct_arrow,
+    )
+    from gemproc2caom2_spark.sources.datagen import generate_corpus
+
+    rows = [
+        (0, " ".join(["buy now"] * 10)),
+        (1, "each word here appears exactly once in this sentence"),
+        (2, "one"),
+        (3, ""),
+        (4, None),
+        (5, "Tick TOCK tick tock tick tock tick tock"),
+        (6, "\t"),                      # trim keeps \t: split -> ["", ""]
+        (7, "  spaced   out\twords \n lines  "),
+        (8, "a b a b a b a b a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = generate_corpus(spark, 120).select(
+        F.col("url").alias("doc_id"), F.col("text")
+    )
+    for frame in (df, corpus):
+        bad = (
+            frame.select(
+                repetition_struct("text").alias("a"),
+                repetition_struct_arrow("text").alias("b"),
+            )
+            .where("a IS DISTINCT FROM b")
+            .count()
+        )
+        assert bad == 0
+
+
 def test_compression_ratio_orders_repetition(spark):
     """Repetitive boilerplate compresses far below diverse prose; null
     and empty text yield null."""
