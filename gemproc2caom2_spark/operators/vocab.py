@@ -155,16 +155,25 @@ def inverted_index(
     if ngram <= 1:
         terms = F.explode(F.split(t, r"\s+"))
     else:
+        # O(n) shifted-slice zip_with composition (the word_shingles
+        # form): the previous transform(sequence(i), concat_ws(slice))
+        # closed over the outer token array inside the lambda, so the
+        # interpreted HOF re-evaluated the split PER INDEX — O(n^2)
+        # per doc (the exact trap functions/text.word_shingles
+        # documents). concat(a, ' ', b) chains produce the identical
+        # space-joined phrase (split never yields null elements).
         toks = F.split(t, r"\s+")
         n = F.size(toks)
+        m = F.greatest(n - (ngram - 1), F.lit(0))
+        sh = F.slice(toks, 1, m)
+        for i in range(1, ngram):
+            sh = F.zip_with(
+                sh,
+                F.slice(toks, 1 + i, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
         terms = F.explode(
-            F.when(
-                n >= ngram,
-                F.transform(
-                    F.sequence(F.lit(1), n - (ngram - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.when(n >= ngram, sh).otherwise(F.array().cast("array<string>"))
         )
     pairs = base.select(F.col(id_col), terms.alias("token")).distinct()
     dfreq = (

@@ -387,13 +387,24 @@ def j1_threeway_like_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: the reference's only true relational query — 3-way equi-join
     with a LIKE-suffix filter (the TAP/ADQL query,
     provenance_augmentation.py:203-210). Suffix-LIKE kept as a filter on
-    the small side (broadcast), not a theta-join."""
+    the small side (broadcast), not a theta-join.
+
+    Join order (r6): reduce orders through the selective customer
+    filter FIRST (~10% of customers), then broadcast the surviving
+    (orderkey, custkey) pairs onto lineitem — the fact table is never
+    shuffled at all (guide §2.4/§3.1; the r5 order sort-merge-joined
+    all of lineitem against all of orders before the customer filter
+    applied). The broadcast side is the post-filter order list — the
+    same keep-the-filtered-side-small condition the broadcast(c) hint
+    already assumed."""
     c = load(spark, sf_dir, "customer").where(F.col("c_name").endswith("7"))
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("c_custkey").alias("custkey"))
         .agg(
             F.count("*").alias("n_lineitems"),
@@ -523,12 +534,22 @@ def a1_a3_member_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a4_a5_median_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 median reduce (np.median, preview_augmentation.py:101-104) +
-    A5 min/max interval normalization (:95-102)."""
+    A5 min/max interval normalization (:95-102).
+
+    The per-flag min/max come from a 3-row pre-aggregate broadcast back
+    onto the fact rows — the r5 form computed them with a window over
+    l_returnflag, which has 3 distinct values: every window partition
+    was a multi-million-row single-task SORT (the low-cardinality
+    window skew; guide §2.5), for values a map-side-combined groupBy
+    produces without any sort. Same numbers: min/max are exact, and the
+    normalized-average's summation was already partial-aggregated in
+    arbitrary order before rounding."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag")
-    li = li.withColumn("mn", F.min("l_extendedprice").over(w)).withColumn(
-        "mx", F.max("l_extendedprice").over(w)
+    mm = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
     )
+    li = li.join(F.broadcast(mm), on="l_returnflag")
     norm = (F.col("l_extendedprice") - F.col("mn")) / F.nullif(
         F.col("mx") - F.col("mn"), F.lit(0)
     )

@@ -2812,25 +2812,24 @@ def eval1_keep_drop_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scrub does not influence keep/drop — skipping the byte-kernel
         # stage makes the evaluation pass cheaper (task_types analog)
         stages=("collapse", "extract", "langid", "heuristics", "perplexity"),
-    ).select(
-        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
-        "keep",
     )
     w = spark.read.parquet(_QLR_FIXTURE).first().asDict()
-    # spread the prediction scan: its quality_struct regex kernels are
-    # map-side work ahead of the join shuffle, and the bare single-split
-    # scan would run them serially (the url1 trap)
-    preds = (
-        load(spark, sf_dir, "documents", spread=True)
-        .where(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select(
-            "doc_id",
-            (quality_logit_expr(quality_struct("text"), w) > 0).alias("mk"),
-        )
+    # The classifier's features ARE curate's quality struct (same capped
+    # metrics, same exact doc_len), so the model prediction is a Column
+    # over the labels frame — the r5 plan re-scanned the corpus, re-ran
+    # the quality regex kernels, and shuffled a doc_id join to attach a
+    # value derivable in place (guide §2.4: remove shuffles outright).
+    # Gate equivalence: the old preds filter (text IS NOT NULL AND
+    # length > 0) is exactly quality.doc_len > 0 (doc_len is null iff
+    # text is null); a row outside the gate — or with a null logit, e.g.
+    # no lines so repeated_line_frac is null — fell out of the old left
+    # join and coalesced to mk=false, which when+coalesce reproduces.
+    q = F.col("quality")
+    mk = F.coalesce(
+        F.when(q.getField("doc_len") > 0, quality_logit_expr(q, w) > 0),
+        F.lit(False),
     )
-    j = labels.join(preds, on="doc_id", how="left").select(
-        "keep", F.coalesce(F.col("mk"), F.lit(False)).alias("mk")
-    )
+    j = labels.select("keep", mk.alias("mk"))
     return confusion_f1(j, label_col="keep", pred_col="mk")
 
 
