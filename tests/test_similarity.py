@@ -246,6 +246,69 @@ def test_ivf_cells_kernel_bit_identical_to_struct_sort(spark, emb):
     assert bad == 0
 
 
+def test_bucket_pair_kernel_matches_pair_join_form(spark, emb):
+    """The r6 per-bucket group kernel must reproduce the r5 pair-join
+    plan (explode buckets -> self-join -> distinct -> two vector joins
+    -> scalar cosine kernel) row-for-row and bit-for-bit, on both the
+    float (sequential-order) and int-exact paths."""
+    from gemproc2caom2_spark.operators.embed import (
+        with_centered_vector,
+        with_text_embedding,
+    )
+    from gemproc2caom2_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        np_bucket_udf,
+        np_int_cosine_udf,
+        np_seq_bucket_udf,
+        np_seq_cosine_udf,
+    )
+
+    def old_pairs(corpus, threshold, bits, tables, dim, bucket_vec_col, int_exact):
+        bucket_arr = (np_bucket_udf if int_exact else np_seq_bucket_udf)(
+            bits, tables, dim
+        )(F.col(bucket_vec_col or "embedding"))
+        cb = corpus.select(F.col("vec_id"), F.explode(bucket_arr).alias("_b"))
+        cand = (
+            cb.select(F.col("vec_id").alias("id1"), "_b")
+            .join(cb.select(F.col("vec_id").alias("id2"), "_b"), on="_b")
+            .where(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+        cos = (np_int_cosine_udf if int_exact else np_seq_cosine_udf)()
+        e1 = corpus.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("_v1"))
+        e2 = corpus.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("_v2"))
+        return (
+            cand.join(e1, on="id1")
+            .join(e2, on="id2")
+            .select("id1", "id2", F.round(cos(F.col("_v1"), F.col("_v2")), 6).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+        )
+
+    # float path over the embeddings table
+    new_f = embedding_near_dup_pairs(emb, threshold=0.35, bits=4, tables=8).collect()
+    old_f = old_pairs(emb, 0.35, 4, 8, 64, None, False).collect()
+    assert sorted(map(tuple, new_f)) == sorted(map(tuple, old_f))
+    assert len(new_f) > 0
+
+    # int path over text-derived centered-bucket TF vectors
+    docs = spark.createDataFrame(
+        [(i, ("spam ham " * (i % 5 + 1)) + f"tail {i % 7}") for i in range(80)],
+        "doc_id long, text string",
+    )
+    corpus = with_text_embedding(docs, dim=16, use_udf=True).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    corpus = with_centered_vector(corpus, dim=16)
+    new_i = embedding_near_dup_pairs(
+        corpus, threshold=0.9, bits=4, tables=4, dim=16,
+        bucket_vec_col="cvec", int_exact=True,
+    ).collect()
+    old_i = old_pairs(corpus, 0.9, 4, 4, 16, "cvec", True).collect()
+    assert sorted(map(tuple, new_i)) == sorted(map(tuple, old_i))
+    assert len(new_i) > 0
+
+
 def test_ann_recall_bounds_and_exact_match(spark):
     from gemproc2caom2_spark.operators.similarity import ann_recall
 
