@@ -496,7 +496,9 @@ def _bucket_pair_kernel(threshold: float, dim: int, int_exact: bool):
         out2: list[np.ndarray] = []
         outc: list[np.ndarray] = []
         col_idx = np.arange(n)
-        ba = 512 if int_exact else 32
+        # block the row side so the (ba, n) dots matrix stays ~64 MB even
+        # for a mega-bucket — blocking never changes the values
+        ba = max(16, min(512 if int_exact else 32, 8_000_000 // max(n, 1)))
         bm = max(1, 4_000_000 // (ba * dim))
         for s in range(0, n, ba):
             blk = m[s : s + ba]

@@ -124,15 +124,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
-    The customer side is small after the segment filter -> broadcast."""
+    The customer side is small after the segment filter -> broadcast.
+    Join order (r6, same move as j1): orders reduce through the
+    broadcast customer filter FIRST, and the surviving (orderkey,
+    custkey, orderdate) list broadcasts onto lineitem — the fact table
+    is never shuffled (the r5 order sort-merge-joined all of lineitem
+    against the date-filtered orders before the segment filter cut)."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
     )
     li = load(spark, sf_dir, "lineitem")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(oc), li.l_orderkey == F.col("o_orderkey"))
         .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
