@@ -635,14 +635,13 @@ def lsh_ann_topk(
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
 
-    # array of per-table buckets, exploded with the table index baked in
-    def buckets(col: Column) -> Column:
-        return F.array(
-            *[
-                hyperplane_bucket_expr(col, bits, t, dim) + F.lit(t << 60)
-                for t in range(tables)
-            ]
-        )
+    # all-tables bucket ids in ONE Arrow kernel (table index baked into
+    # bits 60+) — np_seq_bucket_udf reproduces the interpreted
+    # hyperplane_bucket_expr fold bit-for-bit (sequential plane-dot
+    # accumulation; pinned by test_seq_kernels_bit_identical_to_column_
+    # folds), replacing bits*tables interpreted zip_with/aggregate
+    # passes per row (measured: sim2 4.4 s -> ~1 s at sf1.0)
+    buckets = np_seq_bucket_udf(bits, tables, dim)
 
     c = corpus.select(
         id_col, vec_col, F.explode(buckets(F.col(vec_col))).alias("_bucket")

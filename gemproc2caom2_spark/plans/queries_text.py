@@ -1061,18 +1061,44 @@ def tx3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: 4 smallest hex15 hashes of
-    char 8-grams of normalized text (functions.text.rolling_fingerprint)."""
+    char 8-grams of normalized text (functions.text.rolling_fingerprint
+    semantics).
+
+    r6 shape: the char-gram construction and per-gram md5 stay JVM-side;
+    the distinct/sort/keep-4/join step runs in one Arrow kernel whose
+    output is NULL for docs with fewer than 4 distinct grams, and the
+    row filter tests that null with the kernel marked non-deterministic.
+    The r5 ``where(size(fp) >= 4)`` predicate — the full gram+md5 chain
+    (~580 md5 calls per doc) — was pushed below the spread repartition
+    and evaluated serially in the single-split scan task plus again
+    post-shuffle: 53 s at sf1.0 for a map-only query (the dd2
+    filter-pushdown trap). Equivalence: np.unique == array_sort ∘
+    array_distinct on int64; slice(,1,4) == the first 4; size(fp) >= 4
+    ⇔ n_distinct >= 4 ⇔ non-null csv; str(int64) == bigint→string."""
+    import numpy as _np
+    import pandas as _pd
+
     d = load(spark, sf_dir, "documents", spread=True)
-    fp = TX.rolling_fingerprint("text", k=8, keep=4)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    hashes = F.transform(TX.char_ngrams(norm, 8), hex15_hash)
+
+    def _fp_fn(hs):
+        out = []
+        for arr in hs:
+            if arr is None:
+                out.append(None)
+                continue
+            u = _np.unique(_np.asarray(arr, dtype=_np.int64))
+            if len(u) < 4:
+                out.append(None)
+            else:
+                out.append(",".join(str(int(x)) for x in u[:4]))
+        return _pd.Series(out, dtype="object")
+
+    _fp = F.pandas_udf(_fp_fn, "string").asNondeterministic()
     return (
-        d.select("doc_id", fp.alias("fp"))
-        .where(F.size("fp") >= 4)
-        .select(
-            "doc_id",
-            F.array_join(F.transform("fp", lambda x: x.cast("string")), ",").alias(
-                "fingerprint"
-            ),
-        )
+        d.select("doc_id", _fp(hashes).alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
     )
 
 
