@@ -364,6 +364,19 @@ def _fold_candidates(
     dup_flags = candidates.groupBy(key_col).agg(
         F.min("_bucket_min").alias("_canon_key")
     )
+    # Thin materialization barrier: every pointer-jump hop below
+    # self-joins dup_flags, so the frame is consumed by 2^hops plan
+    # branches (plus the final flags join) — without a barrier the
+    # WHOLE candidate-generation subtree (band explodes, bucket-group
+    # cosine kernels, Hamming verifies) is replayed once per branch
+    # (emb3's round-6 plan showed the bucket kernel four times; same
+    # shape in dd7/dd8 and the flagship's LSH fold). The frame is one
+    # thin (key, canon) row per candidate duplicate — corpus-bounded
+    # and duplicate-rate-sized — so an eager localCheckpoint costs one
+    # tiny job and turns every downstream branch into a local scan.
+    # Same protocol as the boilerplate-hash barrier (dd6) and the
+    # fixpoint's per-round truncation.
+    dup_flags = dup_flags.localCheckpoint(eager=True)
     if resolve_hops == "full":
         dup_flags = resolve_canonical_fixpoint(dup_flags, key_col)
     else:
