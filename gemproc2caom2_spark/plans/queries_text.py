@@ -431,7 +431,10 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 3 query vectors: broadcast query
     side, JVM zip_with/aggregate dot products, window rank."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    # query side from the unspread load (pushed-filter 3-row scan) —
+    # see sim2: the spread frame would shuffle the whole corpus to
+    # build the broadcast side
+    q = load(spark, sf_dir, "embeddings").where(F.col("vec_id").isin(0, 1, 2))
     out = brute_force_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding")
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -551,7 +554,12 @@ def sim2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-time literals shared with the SQL rendering. Recall vs sim1 is
     additionally asserted in tests/test_similarity.py."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    # the 3-row query side comes from the UNSPREAD load: deriving it
+    # from the spread frame made its (broadcast-build) job pay a full
+    # repartition shuffle of the corpus just to fetch 3 rows — at scale
+    # a whole-corpus shuffle per tiny-side build. A pushed-filter scan
+    # returns the identical rows.
+    q = load(spark, sf_dir, "embeddings").where(F.col("vec_id").isin(0, 1, 2))
     out = lsh_ann_topk(
         emb, q, k=5, bits=4, id_col="vec_id", vec_col="embedding", dim=64
     )
@@ -618,8 +626,20 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gemproc2caom2_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    q = emb.where(F.col("vec_id").isin(0, 1, 2))
-    out = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+    # centroid seed rows AND the 3-row query side from the unspread
+    # load: both are tiny pushed-filter scans, and deriving them from
+    # the spread frame cost a full-corpus repartition shuffle each
+    # (the centroid .collect() inside ivf_topk would otherwise scan
+    # through the repartition; same rows either way)
+    raw = load(spark, sf_dir, "embeddings")
+    cents = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in raw.where(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    q = raw.where(F.col("vec_id").isin(0, 1, 2))
+    out = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4, centroids=cents)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -718,7 +738,9 @@ def sim4_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run `python tests/gen_fixtures.py` to train and store one "
             "(sim3_ivf_topk is the untrained-quantizer variant)"
         )
-    q = emb.where(F.col("vec_id").isin(0, 1, 2))
+    # query side from the unspread load (see sim2) — identical 3 rows,
+    # no corpus shuffle to build the broadcast side
+    q = load(spark, sf_dir, "embeddings").where(F.col("vec_id").isin(0, 1, 2))
     out = ivf_topk(
         emb, q, k=5, n_centroids=len(centroids), n_probe=4, centroids=centroids
     )
